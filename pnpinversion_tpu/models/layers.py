@@ -1,0 +1,135 @@
+"""Shared functional NN layers (NHWC, param-dict based).
+
+Models are pure functions over nested param dicts whose key names mirror the
+HF diffusers/transformers state-dict layout, so the torch->jax converter in
+``pnpinversion_tpu/convert`` is a mechanical rename. NHWC + HWIO layouts are
+used throughout (TPU-native; the reference's NCHW is a CUDA convention).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers (tests / weightless runs; real runs load converted checkpoints)
+# ---------------------------------------------------------------------------
+
+def _fan_in(shape: Tuple[int, ...]) -> int:
+    if len(shape) == 2:  # (in, out) linear
+        return shape[0]
+    if len(shape) == 4:  # (kh, kw, in, out) conv
+        return shape[0] * shape[1] * shape[2]
+    return shape[0]
+
+
+def init_linear(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    scale = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": jax.random.uniform(k1, (in_dim, out_dim), jnp.float32, -scale, scale)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def init_conv(key, in_ch: int, out_ch: int, kernel: int = 3, use_bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    shape = (kernel, kernel, in_ch, out_ch)
+    scale = 1.0 / math.sqrt(_fan_in(shape))
+    p = {"kernel": jax.random.uniform(k1, shape, jnp.float32, -scale, scale)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def init_norm(ch: int) -> Params:
+    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# functional layers
+# ---------------------------------------------------------------------------
+
+def linear(p: Params, x: Array) -> Array:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(p: Params, x: Array, stride: int = 1, padding="SAME") -> Array:
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p: Params, x: Array, groups: int, eps: float = 1e-5) -> Array:
+    """GroupNorm over NHWC (stats in fp32 for stability)."""
+    orig_dtype = x.dtype
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(b, h, w, c)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def layer_norm(p: Params, x: Array, eps: float = 1e-5) -> Array:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def silu(x: Array) -> Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x: Array) -> Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def timestep_embedding(
+    t: Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    dtype=jnp.float32,
+) -> Array:
+    """Sinusoidal timestep embedding (diffusers ``Timesteps`` semantics)."""
+    t = jnp.atleast_1d(t).astype(jnp.float32)
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = t[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
+def nearest_upsample_2x(x: Array) -> Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware.
+
+Note: this environment's sitecustomize may pre-import jax and register a TPU
+backend; backend *initialization* is lazy, so overriding jax_platforms here
+(before any device query) still lands tests on CPU. Set PNPI_TEST_TPU=1 to
+run the suite on the real chip instead.
+"""
+import os
+
+if os.environ.get("PNPI_TEST_TPU") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True)
+def _np_seed():
+    np.random.seed(1234)
