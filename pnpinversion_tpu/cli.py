@@ -1,0 +1,54 @@
+"""Shared benchmark-runner loop (the L6 driver layer).
+
+Mirrors the reference's per-runner loop (run_editing_p2p.py:95-146): walk
+mapping_file.json, filter categories, skip existing outputs (idempotent,
+restartable), seed per image, save 4-panel strips under
+output/<method>/annotation_images/<relative image path>.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Dict, Sequence
+
+import numpy as np
+
+from pnpinversion_tpu.data.pie_bench import PieBenchDataset
+
+
+def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rerun_exist_images", action="store_true")
+    p.add_argument("--data_path", type=str, default="data")
+    p.add_argument("--output_path", type=str, default="output")
+    p.add_argument("--edit_category_list", nargs="+", type=str,
+                   default=[str(i) for i in range(10)])
+    p.add_argument("--edit_method_list", nargs="+", type=str,
+                   default=list(default_methods))
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="converted SD weights (orbax/safetensors dir)")
+    p.add_argument("--num_ddim_steps", type=int, default=50)
+    return p
+
+
+def run_benchmark(
+    args,
+    edit_fn: Callable,  # (edit_method, item) -> PIL.Image
+    image_save_paths: Dict[str, str],
+) -> None:
+    dataset = PieBenchDataset(args.data_path)
+    for item in dataset.items(args.edit_category_list):
+        for edit_method in args.edit_method_list:
+            rel = os.path.relpath(item.image_path,
+                                  os.path.join(args.data_path, "annotation_images"))
+            save_path = os.path.join(args.output_path, image_save_paths[edit_method],
+                                     "annotation_images", rel)
+            if os.path.exists(save_path) and not args.rerun_exist_images:
+                print(f"skip image [{item.image_path}] with [{edit_method}]")
+                continue
+            print(f"editing image [{item.image_path}] with [{edit_method}]")
+            np.random.seed(1234)
+            edited = edit_fn(edit_method, item)
+            os.makedirs(os.path.dirname(save_path), exist_ok=True)
+            edited.save(save_path)
+            print("finish")

@@ -24,11 +24,17 @@ class UNetConfig:
     # whether each down block (and the mirrored up block) carries cross-attn
     cross_attention: Tuple[bool, ...] = (True, True, True, False)
     num_heads: int = 8
+    # SD2.x uses fixed 64-dim heads (heads = channels//head_dim per level);
+    # SD1.x uses a fixed head COUNT (num_heads) with varying head dims
+    head_dim: int = 0  # 0 => use num_heads
     context_dim: int = 768
     norm_groups: int = 32
     time_embed_mult: int = 4
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+
+    def heads_at(self, channels: int) -> int:
+        return channels // self.head_dim if self.head_dim else self.num_heads
 
     @property
     def time_embed_dim(self) -> int:
@@ -91,7 +97,7 @@ SD14 = StableDiffusionConfig(unet=SD14_UNET, vae=SD14_VAE, text=SD14_TEXT, name=
 # same UNet topology with 64-dim heads per block and 1024-dim OpenCLIP context.
 SD21_UNET = UNetConfig(
     block_out_channels=(320, 640, 1280, 1280),
-    num_heads=8,  # placeholder: per-block head dims (5,10,20,20); modeled via heads=channels//64
+    head_dim=64,  # heads per level: (5, 10, 20, 20)
     context_dim=1024,
 )
 SD21_TEXT = CLIPTextConfig(vocab_size=49408, width=1024, layers=23, heads=16, activation="gelu")

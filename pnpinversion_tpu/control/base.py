@@ -74,7 +74,8 @@ class BaseControl:
     """
 
     # -- state ---------------------------------------------------------------
-    def init_state(self, batch_size: int, dtype) -> State:
+    def init_state(self, batch_size: int, dtype=None, heads: int = 8,
+                   max_words: int = 77) -> State:
         return {}
 
     # -- attention hooks -----------------------------------------------------
@@ -89,6 +90,19 @@ class BaseControl:
         step: Array,
     ) -> Tuple[Array, Array, Array]:
         return q, k, v
+
+    def value_context_hook(
+        self,
+        site: AttnSite,
+        context: Array,
+        tensors: Tensors,
+        state: State,
+        step: Array,
+    ) -> Array:
+        """Rewrite the context used for the V projection only (K keeps the
+        original text context) — StyleDiffusion's learned prompt-value
+        embedding (/root/reference/models/stylediffusion/utils.py:446-464)."""
+        return context
 
     def needs_probs(self, site: AttnSite) -> bool:
         return False
@@ -122,6 +136,8 @@ class BaseControl:
         state: State,
         step: Array,
     ) -> Array:
+        """Called on decoder resnets' residual-branch activations (after
+        conv2, BEFORE the shortcut add — run_editing_pnp.py:276-281)."""
         return hidden
 
 

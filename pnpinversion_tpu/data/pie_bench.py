@@ -66,12 +66,12 @@ def mask_encode(mask: np.ndarray) -> List[int]:
     return out
 
 
-def load_512(image_path, left=0, right=0, top=0, bottom=0) -> np.ndarray:
-    """Crop-to-square then resize to 512x512 RGB uint8."""
+def load_image(image_path, size: int = 512, left=0, right=0, top=0, bottom=0) -> np.ndarray:
+    """Crop-to-square then resize to size x size RGB uint8."""
     if isinstance(image_path, str):
         image = np.array(Image.open(image_path))[:, :, :3]
     else:
-        image = image_path
+        image = np.asarray(image_path)
     h, w, _ = image.shape
     left = min(left, w - 1)
     right = min(right, w - left - 1)
@@ -85,8 +85,14 @@ def load_512(image_path, left=0, right=0, top=0, bottom=0) -> np.ndarray:
     elif w < h:
         offset = (h - w) // 2
         image = image[offset : offset + w]
-    image = np.array(Image.fromarray(image).resize((512, 512)))
+    if image.shape[:2] != (size, size):
+        image = np.array(Image.fromarray(image).resize((size, size)))
     return image
+
+
+def load_512(image_path, left=0, right=0, top=0, bottom=0) -> np.ndarray:
+    """Crop-to-square then resize to 512x512 RGB uint8 (utils/utils.py:27-46)."""
+    return load_image(image_path, 512, left, right, top, bottom)
 
 
 @dataclasses.dataclass(frozen=True)

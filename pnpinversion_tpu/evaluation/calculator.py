@@ -1,0 +1,153 @@
+"""MetricsCalculator: the evaluator facade, mirroring
+/root/reference/evaluation/matrics_calculator.py:271-405 with all backends on
+device (jnp): PSNR/MSE/SSIM closed-form, LPIPS-SqueezeNet, CLIPScore
+(ViT-L/14), DINO ViT-B/8 key-self-similarity structure distance.
+
+Weights: without a converted checkpoint the metric *models* run with random
+weights (shape-correct; useful for pipeline tests). Pass ``checkpoint_dir``
+with converted CLIP/LPIPS/DINO weights for real numbers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnpinversion_tpu.evaluation import metrics as M
+from pnpinversion_tpu.models import lpips as lpips_mod
+from pnpinversion_tpu.models import vit
+from pnpinversion_tpu.models.clip_text import clip_text_apply, init_clip_text_params
+from pnpinversion_tpu.configs import CLIPTextConfig
+from pnpinversion_tpu.models.layers import init_linear, linear
+from pnpinversion_tpu.utils.tokenizer import default_tokenizer
+
+Array = jax.Array
+
+
+class MetricsCalculator:
+    def __init__(self, rng: Optional[Array] = None, checkpoint_dir: Optional[str] = None,
+                 tokenizer=None, tiny: bool = False):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        self.tokenizer = tokenizer or default_tokenizer(checkpoint_dir)
+        if tiny:
+            self.clip_vision_cfg = vit.TINY_VIT
+            self.clip_text_cfg = CLIPTextConfig(vocab_size=128, width=32, layers=2,
+                                                heads=2)
+            self.dino_cfg = vit.ViTConfig(image_size=32, patch_size=8, width=24,
+                                          layers=2, heads=2, style="dino",
+                                          activation="gelu")
+            self.clip_proj_dim = 16
+        else:
+            self.clip_vision_cfg = vit.CLIP_VIT_L14
+            self.clip_text_cfg = CLIPTextConfig()  # ViT-L/14 text tower
+            self.dino_cfg = vit.DINO_VITB8
+            self.clip_proj_dim = 768
+        self.params: Dict[str, Any] = {
+            "clip_vision": vit.init_vit_params(k1, self.clip_vision_cfg),
+            "clip_text": init_clip_text_params(k2, self.clip_text_cfg),
+            "clip_text_proj": init_linear(k3, self.clip_text_cfg.width,
+                                          self.clip_proj_dim, use_bias=False),
+            "lpips": lpips_mod.init_lpips_params(k4),
+            "dino": vit.init_vit_params(k5, self.dino_cfg),
+        }
+        if checkpoint_dir is not None:
+            from pnpinversion_tpu.convert.checkpoint import load_metric_params
+
+            self.params.update(load_metric_params(checkpoint_dir))
+        self._jit: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------- internals
+    def _jitted(self, name, builder):
+        if name not in self._jit:
+            self._jit[name] = jax.jit(builder)
+        return self._jit[name]
+
+    @staticmethod
+    def _prep(img, mask) -> np.ndarray:
+        img = np.array(img).astype(np.float32) / 255.0
+        if mask is not None:
+            img = img * np.array(mask).astype(np.float32)
+        return img
+
+    # ------------------------------------------------------------- metrics
+    def calculate_psnr(self, img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+        f = self._jitted("psnr", lambda a, b: M.psnr(a, b))
+        return float(f(jnp.asarray(self._prep(img_pred, mask_pred)),
+                       jnp.asarray(self._prep(img_gt, mask_gt))))
+
+    def calculate_mse(self, img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+        f = self._jitted("mse", lambda a, b: M.mse(a, b))
+        return float(f(jnp.asarray(self._prep(img_pred, mask_pred)),
+                       jnp.asarray(self._prep(img_gt, mask_gt))))
+
+    def calculate_ssim(self, img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+        f = self._jitted("ssim", lambda a, b: M.ssim(a, b))
+        return float(f(jnp.asarray(self._prep(img_pred, mask_pred)),
+                       jnp.asarray(self._prep(img_gt, mask_gt))))
+
+    def calculate_lpips(self, img_pred, img_gt, mask_pred=None, mask_gt=None) -> float:
+        f = self._jitted("lpips", lambda p, a, b: lpips_mod.lpips(p, a, b))
+        a = jnp.asarray(self._prep(img_pred, mask_pred))[None] * 2 - 1
+        b = jnp.asarray(self._prep(img_gt, mask_gt))[None] * 2 - 1
+        return float(f(self.params["lpips"], a, b))
+
+    def _clip_image_features(self, img01: Array) -> Array:
+        def fn(p, img):
+            x = M.center_crop_resize_224(img, self.clip_vision_cfg.image_size)
+            x = M.clip_normalize(x)
+            emb, _ = vit.vit_apply(p, x[None], self.clip_vision_cfg)
+            return emb[0]
+
+        return self._jitted("clip_img", fn)(self.params["clip_vision"], img01)
+
+    def _clip_text_features(self, txt: str) -> Array:
+        ids = self.tokenizer([txt], max_length=self.clip_text_cfg.max_length)["input_ids"]
+        ids = jnp.asarray(np.asarray(ids, np.int32))
+
+        def fn(p, proj, ids):
+            h = clip_text_apply(p, ids, self.clip_text_cfg)
+            # CLIP pools at the EOS token (highest id); with our padding the
+            # first EOS == argmax matches HF's pooling
+            eos = jnp.argmax(ids[0])
+            return linear(proj, h[0, eos])
+
+        return self._jitted("clip_txt", fn)(
+            self.params["clip_text"], self.params["clip_text_proj"], ids)
+
+    def calculate_clip_similarity(self, img, txt, mask=None) -> float:
+        img = np.array(img)
+        if mask is not None:
+            img = np.uint8(img * np.array(mask))
+        img01 = jnp.asarray(img.astype(np.float32) / 255.0)
+        ie = self._clip_image_features(img01)
+        te = self._clip_text_features(txt)
+        cos = jnp.sum(ie * te) / (jnp.linalg.norm(ie) * jnp.linalg.norm(te))
+        return float(jnp.maximum(100.0 * cos, 0.0))
+
+    def calculate_structure_distance(self, img_pred, img_gt, mask_pred=None,
+                                     mask_gt=None) -> float:
+        # reference quirk: raw 0..255 floats through the imagenet normalizer
+        # (matrics_calculator.py:382-391)
+        def prep255(img, mask):
+            img = np.array(img).astype(np.float32)
+            if mask is not None:
+                img = img * np.array(mask).astype(np.float32)
+            return img
+
+        def fn(p, a, b):
+            size = self.dino_cfg.image_size
+            a = jax.image.resize(a, (size, size, 3), method="bilinear")
+            b = jax.image.resize(b, (size, size, 3), method="bilinear")
+            a = M.imagenet_normalize(a)[None]
+            b = M.imagenet_normalize(b)[None]
+            return vit.structure_distance(p, a, b, self.dino_cfg,
+                                          layer=self.dino_cfg.layers - 1)
+
+        return float(self._jitted("structdist", fn)(
+            self.params["dino"],
+            jnp.asarray(prep255(img_gt, mask_gt)),
+            jnp.asarray(prep255(img_pred, mask_pred))))

@@ -60,7 +60,7 @@ def enumerate_sites(config: UNetConfig) -> List[Tuple[AttnSite, AttnSite]]:
     lb_res = min(down_attn_res) if down_attn_res else -1
     lb_counter = [0]
 
-    def mk(place: str, res: int) -> Tuple[AttnSite, AttnSite]:
+    def mk(place: str, res: int, channels: int) -> Tuple[AttnSite, AttnSite]:
         nonlocal index
         pair = []
         for is_cross in (False, True):
@@ -81,7 +81,7 @@ def enumerate_sites(config: UNetConfig) -> List[Tuple[AttnSite, AttnSite]]:
                     place=place,
                     resolution=res,
                     is_cross=is_cross,
-                    heads=config.num_heads,
+                    heads=config.heads_at(channels),
                     place_index=pidx,
                     lb_slot=lb_slot,
                 )
@@ -93,14 +93,15 @@ def enumerate_sites(config: UNetConfig) -> List[Tuple[AttnSite, AttnSite]]:
         if config.cross_attention[i]:
             res = config.sample_size // (2**i)
             for _ in range(config.layers_per_block):
-                sites.append(mk("down", res))
-    sites.append(mk("mid", config.sample_size // (2 ** (n - 1))))
+                sites.append(mk("down", res, config.block_out_channels[i]))
+    sites.append(mk("mid", config.sample_size // (2 ** (n - 1)),
+                    config.block_out_channels[-1]))
     for i in range(n):
         j = n - 1 - i  # mirrored down-block index
         if config.cross_attention[j]:
             res = config.sample_size // (2**j)
             for _ in range(config.layers_per_block + 1):
-                sites.append(mk("up", res))
+                sites.append(mk("up", res, config.block_out_channels[j]))
     return sites
 
 
@@ -252,7 +253,7 @@ def init_unet_params(key, config: UNetConfig = UNetConfig(), zeros: bool = False
 # apply
 # ---------------------------------------------------------------------------
 
-def _resnet(p: Params, x: Array, temb: Optional[Array], groups: int) -> Array:
+def _resnet(p: Params, x: Array, temb: Optional[Array], groups: int, hook=None) -> Array:
     h = group_norm(p["norm1"], x, groups)
     h = conv2d(p["conv1"], silu(h))
     if temb is not None and "time_emb_proj" in p:
@@ -260,6 +261,10 @@ def _resnet(p: Params, x: Array, temb: Optional[Array], groups: int) -> Array:
         h = h + t[:, None, None, :]
     h = group_norm(p["norm2"], h, groups)
     h = conv2d(p["conv2"], silu(h))
+    if hook is not None:
+        # PnP-style feature injection happens on the residual branch BEFORE
+        # the shortcut add (run_editing_pnp.py:276-281)
+        h = hook(h)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x)
     return x + h
@@ -368,8 +373,12 @@ def unet_apply(
         for j, rn in enumerate(block["resnets"]):
             skip = residuals.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet(rn, h, temb, groups)
-            h = control.resnet_hook(f"up_{i}_resnet_{j}", h, tensors, state, step)
+            block_key = f"up_{i}_resnet_{j}"
+            h = _resnet(
+                rn, h, temb, groups,
+                hook=lambda hh, bk=block_key: control.resnet_hook(
+                    bk, hh, tensors, state, step),
+            )
             if has_attn:
                 h, state = _transformer2d(
                     block["attentions"][j], h, context, next(site_iter),

@@ -86,15 +86,15 @@ def controlled_attention(
     is_cross = context is not None
     ctx = context if is_cross else x
     heads = site.heads
-    q = split_heads(linear(params["to_q"], x), heads)
-    k = split_heads(linear(params["to_k"], ctx.astype(x.dtype)), heads)
-    v = split_heads(linear(params["to_v"], ctx.astype(x.dtype)), heads)
-    scale = (q.shape[-1]) ** -0.5
-
     if state is None:
         state = {}
     if tensors is None:
         tensors = {}
+    q = split_heads(linear(params["to_q"], x), heads)
+    k = split_heads(linear(params["to_k"], ctx.astype(x.dtype)), heads)
+    ctx_v = control.value_context_hook(site, ctx, tensors, state, step)
+    v = split_heads(linear(params["to_v"], ctx_v.astype(x.dtype)), heads)
+    scale = (q.shape[-1]) ** -0.5
 
     q, k, v = control.qkv_hook(site, q, k, v, tensors, state, step)
 

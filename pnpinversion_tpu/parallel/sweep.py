@@ -1,0 +1,121 @@
+"""Multi-chip PIE-Bench sweep: data-parallel image batches over a device mesh.
+
+The reference parallelizes the 700-image sweep by launching multiple
+processes on disjoint categories (SURVEY.md §2.14); here the editing phases
+are ``jax.vmap``-ped over an image axis and sharded across a ``('dp',)``
+mesh, so a v5e-8 runs 8 images per step with zero cross-device traffic
+(metrics reduce with a single psum at the end).
+
+Pattern:
+  sweep = BatchedDirectInversionP2P(pipe, mesh)
+  strips = sweep.edit(images_u8, src_embs, tgt_embs, tensors_batch)
+
+Images whose controller *spec* differs (replace vs refine, blend on/off)
+compile to different programs; group_items_by_spec buckets them first.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pnpinversion_tpu.control.p2p import P2PControl, P2PSpec
+from pnpinversion_tpu.inversion.ddim_inversion import (
+    ddim_invert_loop,
+    direct_inversion_offsets,
+)
+from pnpinversion_tpu.models.vae import image_to_latent, latent_to_image
+from pnpinversion_tpu.pipeline import SDPipeline
+from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
+
+Array = jax.Array
+
+
+def make_dp_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dp",))
+
+
+def group_items_by_spec(items: Sequence[dict], keyfn: Callable[[dict], Any]) -> Dict[Any, List[dict]]:
+    groups: Dict[Any, List[dict]] = {}
+    for it in items:
+        groups.setdefault(keyfn(it), []).append(it)
+    return groups
+
+
+def pad_batch(arrays: List[np.ndarray], multiple: int) -> Tuple[np.ndarray, int]:
+    """Stack and pad the leading axis up to a multiple (repeating the last
+    element); returns (batch, real_count)."""
+    n = len(arrays)
+    rem = (-n) % multiple
+    padded = list(arrays) + [arrays[-1]] * rem
+    return np.stack(padded), n
+
+
+class BatchedDirectInversionP2P:
+    """directinversion+p2p over a batch of images, dp-sharded.
+
+    The per-image pipeline is exactly editors/p2p_editor.py's
+    edit_direct_inversion; vmap adds the image axis.
+    """
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None):
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self._cache: Dict[Any, Any] = {}
+
+    def _sharding(self):
+        return NamedSharding(self.mesh, P("dp"))
+
+    def _replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    def _fn(self, spec: P2PSpec):
+        if spec in self._cache:
+            return self._cache[spec]
+        pipe = self.pipe
+        sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
+        control = P2PControl(spec)
+
+        def one_image(params, image_u8, cond, uncond, g, tensors):
+            """image_u8 (H,W,3); cond/uncond (2,77,D); tensors per-image pytree."""
+            vae_p, unet_p = params["vae"], params["unet"]
+            latent = image_to_latent(vae_p, image_u8, vcfg, dtype=pipe.dtype)
+            traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
+            context = jnp.concatenate([uncond, cond], axis=0)
+            noise_loss, _ = direct_inversion_offsets(unet_p, sched, traj, context, g, ucfg)
+            row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+            x_t = traj[-1]
+            recon = guidance_forward(unet_p, sched, ucfg, x_t, cond, uncond, g,
+                                     noise_loss=noise_loss, offset_row_mask=row_mask)
+            edit = guidance_forward(unet_p, sched, ucfg, x_t, cond, uncond, g,
+                                    control, tensors, noise_loss, row_mask)
+            recon_img = latent_to_image(vae_p, recon[:1], vcfg)[0]
+            edit_img = latent_to_image(vae_p, edit[-1:], vcfg)[0]
+            return recon_img, edit_img
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None, 0))
+
+        fn = jax.jit(
+            batched,
+            in_shardings=(self._replicated(), self._sharding(), self._sharding(),
+                          self._replicated(), self._replicated(), self._sharding()),
+            out_shardings=(self._sharding(), self._sharding()),
+        )
+        self._cache[spec] = fn
+        return fn
+
+    def edit_batch(self, spec: P2PSpec, images_u8: Array, cond: Array,
+                   uncond: Array, guidance_scale: float, tensors) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond (N,2,77,D); tensors: pytree with leading N.
+        Returns (recon_imgs, edit_imgs) uint8 (N,H,W,3)."""
+        with self.mesh:
+            return self._fn(spec)(
+                self.pipe.params, images_u8, cond, uncond,
+                jnp.asarray(guidance_scale, self.pipe.dtype), tensors)

@@ -1,0 +1,101 @@
+"""StableDiffusion pipeline bundle: params + config + tokenizer + schedule.
+
+The reference keeps 6 conflicting diffusers environments (SURVEY.md §0); here
+one functional pipeline object serves every editor family. It owns no device
+loops — the editors call the jitted scans in ``inversion/`` and ``sampling/``
+with ``pipeline.params`` as an explicit argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnpinversion_tpu.configs import SD14, StableDiffusionConfig
+from pnpinversion_tpu.models.clip_text import clip_text_apply, init_clip_text_params
+from pnpinversion_tpu.models.unet import init_unet_params, lb_resolution, num_lb_slots
+from pnpinversion_tpu.models.vae import init_vae_params
+from pnpinversion_tpu.schedulers.ddim import DDIMSchedule, make_ddim_schedule
+from pnpinversion_tpu.utils.tokenizer import default_tokenizer
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class SDPipeline:
+    config: StableDiffusionConfig
+    params: Dict[str, Any]  # {'unet', 'vae', 'text'}
+    tokenizer: Any
+    schedule: DDIMSchedule
+    dtype: Any = jnp.float32
+
+    # ---------------------------------------------------------------- factory
+    @classmethod
+    def create(
+        cls,
+        config: StableDiffusionConfig = SD14,
+        rng: Optional[Array] = None,
+        num_ddim_steps: int = 50,
+        tokenizer=None,
+        checkpoint_dir: Optional[str] = None,
+        dtype=jnp.float32,
+    ) -> "SDPipeline":
+        """Random-weight pipeline, or load a converted checkpoint when given."""
+        if checkpoint_dir is not None:
+            from pnpinversion_tpu.convert.checkpoint import load_pipeline_params
+
+            params, tokenizer = load_pipeline_params(checkpoint_dir, config, tokenizer)
+        else:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            k1, k2, k3 = jax.random.split(rng, 3)
+            params = {
+                "unet": init_unet_params(k1, config.unet),
+                "vae": init_vae_params(k2, config.vae),
+                "text": init_clip_text_params(k3, config.text),
+            }
+        if dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
+        tokenizer = tokenizer or default_tokenizer()
+        schedule = make_ddim_schedule(num_steps=num_ddim_steps)
+        return cls(config=config, params=params, tokenizer=tokenizer,
+                   schedule=schedule, dtype=dtype)
+
+    # ------------------------------------------------------------------ text
+    def tokenize(self, prompts: Sequence[str]) -> Array:
+        ids = self.tokenizer(
+            list(prompts), padding="max_length",
+            max_length=self.config.text.max_length, truncation=True,
+        )["input_ids"]
+        return jnp.asarray(np.asarray(ids, dtype=np.int32))
+
+    def encode_prompt(self, prompts: Sequence[str]) -> Array:
+        """(B, 77, width) final hidden states, like text_encoder(...)[0]."""
+        ids = self.tokenize(prompts)
+        return self._encode_ids(ids)
+
+    @functools.cached_property
+    def _encode_ids(self):
+        cfg = self.config.text
+        return jax.jit(
+            lambda ids: clip_text_apply(self.params["text"], ids, cfg, dtype=self.dtype)
+        )
+
+    # -------------------------------------------------------------- misc meta
+    @property
+    def num_lb_slots(self) -> int:
+        return num_lb_slots(self.config.unet)
+
+    @property
+    def lb_res(self) -> int:
+        return lb_resolution(self.config.unet)
+
+    @property
+    def latent_size(self) -> int:
+        return self.config.unet.sample_size

@@ -1,0 +1,221 @@
+"""P2P-family guidance sampling loops as `lax.scan` phases.
+
+Parity targets:
+- p2p_guidance_forward / _single_branch:
+  /root/reference/models/p2p/p2p_guidance_forward.py:21-100
+- direct_inversion_p2p_guidance_forward (+_add_target): ibid. :103-213 —
+  the per-step source-branch offset add is the paper's "3 lines".
+- proximal_guidance_forward: /root/reference/models/p2p/proximal_guidance_forward.py
+
+One compiled scan serves all DirectInversion variants: the offset row-mask
+(which rows receive noise_loss) and the guidance scale are traced inputs.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pnpinversion_tpu.configs import UNetConfig
+from pnpinversion_tpu.control.base import BaseControl, NO_CONTROL
+from pnpinversion_tpu.models.unet import unet_apply
+from pnpinversion_tpu.schedulers.ddim import (
+    DDIMSchedule,
+    classifier_free_guidance,
+    ddim_step,
+    ddim_step_recon_guided,
+)
+
+Array = jax.Array
+
+
+def guidance_forward(
+    params,
+    schedule: DDIMSchedule,
+    config: UNetConfig,
+    latent: Array,  # (1, h, w, c) or (B, h, w, c) start latent x_T
+    cond_embeddings: Array,  # (B, 77, D)
+    uncond_embeddings: Array,  # (B, 77, D) or per-step (T, 1|B, 77, D)
+    guidance_scale: Array,
+    control: BaseControl = NO_CONTROL,
+    tensors: Optional[Dict[str, Array]] = None,
+    noise_loss: Optional[Array] = None,  # (T, B, h, w, c) DirectInversion offsets
+    offset_row_mask: Optional[Array] = None,  # (B,) 1.0 where offsets apply
+    init_state: Optional[Dict[str, Array]] = None,
+) -> Array:
+    """CFG denoising with attention control and optional per-step offsets.
+
+    Returns final latents (B, h, w, c).
+    """
+    T = schedule.num_steps
+    B = cond_embeddings.shape[0]
+    latents0 = jnp.broadcast_to(latent, (B,) + latent.shape[1:])
+
+    per_step_uncond = uncond_embeddings.ndim == 4
+    if noise_loss is None:
+        noise_loss = jnp.zeros((T, B) + latent.shape[1:], dtype=latent.dtype)
+    if offset_row_mask is None:
+        offset_row_mask = jnp.zeros((B,), dtype=latent.dtype)
+    state0 = init_state if init_state is not None else control.init_state(
+        B, latent.dtype, heads=config.num_heads
+    )
+
+    def body(carry, i):
+        latents, state = carry
+        t = schedule.timesteps[i]
+        if per_step_uncond:
+            unc = jnp.broadcast_to(uncond_embeddings[i], cond_embeddings.shape)
+        else:
+            unc = uncond_embeddings
+        ctx = jnp.concatenate([unc, cond_embeddings], axis=0)
+        x_in = jnp.concatenate([latents, latents], axis=0)
+        eps2, state = unet_apply(
+            params, x_in, t, ctx, config, control, tensors, state, step=i
+        )
+        eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
+        latents = ddim_step(schedule, eps, t, latents)
+        latents = latents + noise_loss[i] * offset_row_mask[:, None, None, None]
+        latents, state = control.step_callback(latents, tensors, state, i)
+        return (latents, state), ()
+
+    (latents, _), _ = jax.lax.scan(body, (latents0, state0), jnp.arange(T))
+    return latents
+
+
+def guidance_forward_single_branch(
+    params,
+    schedule: DDIMSchedule,
+    config: UNetConfig,
+    latent: Array,
+    cond_embeddings: Array,  # (B, 77, D)
+    uncond_per_step: Array,  # (T, 1, 77, D) optimized for row 0
+    uncond_static: Array,  # (B, 77, D) plain "" embeddings for rows 1:
+    guidance_scale: Array,
+    control: BaseControl = NO_CONTROL,
+    tensors: Optional[Dict[str, Array]] = None,
+) -> Array:
+    """Null-text ablation: optimized uncond on the source row only
+    (p2p_guidance_forward_single_branch, :64-100)."""
+    T = schedule.num_steps
+    B = cond_embeddings.shape[0]
+    latents0 = jnp.broadcast_to(latent, (B,) + latent.shape[1:])
+    state0 = control.init_state(B, latent.dtype, heads=config.num_heads)
+
+    def body(carry, i):
+        latents, state = carry
+        t = schedule.timesteps[i]
+        unc = jnp.concatenate([uncond_per_step[i], uncond_static[1:]], axis=0)
+        ctx = jnp.concatenate([unc, cond_embeddings], axis=0)
+        x_in = jnp.concatenate([latents, latents], axis=0)
+        eps2, state = unet_apply(
+            params, x_in, t, ctx, config, control, tensors, state, step=i
+        )
+        eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
+        latents = ddim_step(schedule, eps, t, latents)
+        latents, state = control.step_callback(latents, tensors, state, i)
+        return (latents, state), ()
+
+    (latents, _), _ = jax.lax.scan(body, (latents0, state0), jnp.arange(T))
+    return latents
+
+
+def _dilate(mask: Array, radius: int) -> Array:
+    """Binary dilation via max-pool (proximal_guidance_forward.py:7-17).
+    mask: (B, h, w, c) NHWC."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k, 1), window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+
+
+def proximal_guidance_forward(
+    params,
+    schedule: DDIMSchedule,
+    config: UNetConfig,
+    latent: Array,
+    cond_embeddings: Array,
+    uncond_embeddings: Array,  # (B,77,D) or (T,1,77,D)
+    guidance_scale: Array,
+    control: BaseControl = NO_CONTROL,
+    tensors: Optional[Dict[str, Array]] = None,
+    edit_stage: bool = True,
+    prox: Optional[str] = None,  # None | 'l1' | 'l0'  (static)
+    quantile: float = 0.7,
+    image_enc: Optional[Array] = None,  # (1,h,w,c) ref latent for recon guidance
+    recon_lr: float = 0.1,
+    recon_t: int = 400,
+    inversion_guidance: bool = False,
+    x_stars: Optional[Array] = None,  # (T+1, 1, h, w, c)
+    dilate_mask: int = 1,
+) -> Array:
+    """ProxEdit sampling (proximal_guidance_forward.py:19-166).
+
+    The CFG delta is soft-(l1)/hard-(l0) shrunk by a quantile threshold; the
+    over-threshold region defines an edit mask used for background
+    reconstruction guidance toward ``image_enc`` and/or the inversion latents.
+    """
+    T = schedule.num_steps
+    B = cond_embeddings.shape[0]
+    latents0 = jnp.broadcast_to(latent, (B,) + latent.shape[1:])
+    per_step_uncond = uncond_embeddings.ndim == 4
+    state0 = control.init_state(B, latent.dtype, heads=config.num_heads)
+    use_prox = edit_stage and prox is not None
+
+    def body(carry, i):
+        latents, state = carry
+        t = schedule.timesteps[i]
+        if per_step_uncond:
+            unc = jnp.broadcast_to(uncond_embeddings[i], cond_embeddings.shape)
+        else:
+            unc = uncond_embeddings
+        ctx = jnp.concatenate([unc, cond_embeddings], axis=0)
+        x_in = jnp.concatenate([latents, latents], axis=0)
+        eps2, state = unet_apply(
+            params, x_in, t, ctx, config, control, tensors, state, step=i
+        )
+        eps_u, eps_c = eps2[:B], eps2[B:]
+
+        if use_prox:
+            delta = eps_c - eps_u
+            if quantile > 0:
+                threshold = jnp.quantile(jnp.abs(delta).astype(jnp.float32), quantile)
+            else:
+                threshold = jnp.asarray(-quantile, jnp.float32)
+            threshold = threshold.astype(delta.dtype)
+            clamped = jnp.clip(delta, -threshold, threshold)
+            shrunk = delta - clamped
+            if prox == "l1":
+                shrunk = jnp.where(shrunk > 0, shrunk - threshold, shrunk)
+                shrunk = jnp.where(shrunk < 0, shrunk + threshold, shrunk)
+            # recon window: (recon_t>0 and t<recon_t) or (recon_t<0 and t>-recon_t)
+            if recon_t > 0:
+                in_window = t < recon_t
+            else:
+                in_window = t > -recon_t
+            mask_edit = (jnp.abs(shrunk) > threshold).astype(latents.dtype)
+            if dilate_mask > 0:
+                mask_edit = _dilate(mask_edit, int(dilate_mask))
+            recon_mask = (1.0 - mask_edit) * in_window.astype(latents.dtype)
+            eps = eps_u + guidance_scale * shrunk
+            lat_next, _ = ddim_step_recon_guided(
+                schedule, eps, t, latents,
+                ref_image=image_enc if image_enc is not None else None,
+                recon_lr=recon_lr if image_enc is not None else 0.0,
+                recon_mask=recon_mask if image_enc is not None else None,
+            )
+            if inversion_guidance and x_stars is not None:
+                x_star_prev = jnp.broadcast_to(x_stars[T - 1 - i], lat_next.shape)
+                lat_next = lat_next - recon_lr * (lat_next - x_star_prev) * recon_mask
+            latents = lat_next
+        else:
+            eps = classifier_free_guidance(eps_u, eps_c, guidance_scale)
+            latents = ddim_step(schedule, eps, t, latents)
+
+        latents, state = control.step_callback(latents, tensors, state, i)
+        return (latents, state), ()
+
+    (latents, _), _ = jax.lax.scan(body, (latents0, state0), jnp.arange(T))
+    return latents

@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""EDICT benchmark runner (reference: /root/reference/run_editing_edict.py)."""
+from pnpinversion_tpu.cli import run_benchmark, standard_argparser
+from pnpinversion_tpu.configs import SD14
+from pnpinversion_tpu.editors.edict_editor import EDICTEditor
+from pnpinversion_tpu.pipeline import SDPipeline
+
+IMAGE_SAVE_PATHS = {
+    "edict+direct_forward": "edict+direct_forward",
+    "edict+p2p": "edict+p2p",
+}
+
+
+def main(argv=None):
+    parser = standard_argparser(["edict+p2p"])
+    args = parser.parse_args(argv)
+    pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
+                             checkpoint_dir=args.checkpoint_dir)
+    editor = EDICTEditor(pipe)
+
+    def edit_fn(edit_method, item):
+        return editor(edit_method, item.image_path, item.source_prompt,
+                      item.target_prompt)
+
+    run_benchmark(args, edit_fn, IMAGE_SAVE_PATHS)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""InstructPix2Pix runner (reference: /root/reference/run_editing_instructpix2pix.py).
+Uses the editing_instruction annotation; 8-channel edit-conditioned UNet."""
+from pnpinversion_tpu.cli import run_benchmark, standard_argparser
+from pnpinversion_tpu.configs import IP2P
+from pnpinversion_tpu.editors.instruct_editor import InstructEditor
+from pnpinversion_tpu.pipeline import SDPipeline
+
+IMAGE_SAVE_PATHS = {"instruct-pix2pix": "instruct-pix2pix"}
+
+
+def main(argv=None):
+    parser = standard_argparser(["instruct-pix2pix"])
+    args = parser.parse_args(argv)
+    pipe = SDPipeline.create(IP2P, num_ddim_steps=args.num_ddim_steps,
+                             checkpoint_dir=args.checkpoint_dir)
+    editor = InstructEditor(pipe)
+
+    def edit_fn(edit_method, item):
+        return editor(edit_method, item.image_path, item.editing_instruction,
+                      steps=args.num_ddim_steps, cfg_text=7.5, cfg_image=1.5)
+
+    run_benchmark(args, edit_fn, IMAGE_SAVE_PATHS)
+
+
+if __name__ == "__main__":
+    main()

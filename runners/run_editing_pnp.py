@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""PnP benchmark runner (reference: /root/reference/run_editing_pnp.py).
+
+The reference's PnP stack runs SD1.5 weights; pass --checkpoint_dir with a
+converted SD1.5 checkpoint for weight parity (architecture is identical).
+"""
+from pnpinversion_tpu.cli import run_benchmark, standard_argparser
+from pnpinversion_tpu.configs import SD14
+from pnpinversion_tpu.editors.pnp_editor import PnPEditor
+from pnpinversion_tpu.pipeline import SDPipeline
+
+IMAGE_SAVE_PATHS = {"ddim+pnp": "ddim+pnp", "directinversion+pnp": "directinversion+pnp"}
+
+
+def main(argv=None):
+    parser = standard_argparser(["directinversion+pnp"])
+    args = parser.parse_args(argv)
+    pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
+                             checkpoint_dir=args.checkpoint_dir)
+    editor = PnPEditor(pipe)
+
+    def edit_fn(edit_method, item):
+        return editor(edit_method, item.image_path, item.source_prompt,
+                      item.target_prompt, guidance_scale=7.5)
+
+    run_benchmark(args, edit_fn, IMAGE_SAVE_PATHS)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,14 @@ else:
 
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: this box has a single CPU core, so XLA
+# compiles dominate test wall-clock. Cache them across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
