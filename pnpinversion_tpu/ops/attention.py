@@ -50,7 +50,7 @@ def fused_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     On TPU this dispatches to the Pallas flash kernel for long sequences;
     otherwise (CPU tests, tiny shapes) an einsum that XLA fuses.
     """
-    if _use_pallas(q):
+    if _use_pallas(q, k):
         from pnpinversion_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale)
@@ -58,12 +58,13 @@ def fused_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     return apply_probs(probs, v)
 
 
-def _use_pallas(q: Array) -> bool:
+def _use_pallas(q: Array, k: Array) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    b, h, s, d = q.shape
-    # flash pays off for long sequences; tiles need lane-aligned head dims
-    return s >= 1024 and d % 64 == 0 and s % 128 == 0
+    s, sk = q.shape[2], k.shape[2]
+    # flash pays off for long self-attention; the head dim is zero-padded to
+    # lane width inside the kernel (exact), but the KV sequence must tile
+    return s >= 1024 and s % 128 == 0 and sk % 128 == 0
 
 
 def controlled_attention(

@@ -1,0 +1,114 @@
+"""Pallas TPU flash attention (forward-only; the editing framework never
+backprops through the big self-attention).
+
+Used for the uncontrolled attention sites — above all the 64x64 latent
+self-attention (seq 4096), where materializing (B*H, 4096, 4096) scores to
+HBM is the reference design's single biggest memory-bandwidth cost. Online
+softmax over K/V tiles keeps everything in VMEM.
+
+Head dims in SD UNets are 40/80/160 (not lane-aligned); the wrapper pads the
+head dimension to a multiple of 128 with zeros (exact: zero-padded q/k leave
+the logits unchanged, zero-padded v rows contribute nothing).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
+                  seq_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    block_q, d = q.shape
+    num_kv = seq_k // block_k
+
+    def body(j, carry):
+        o_acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        o_new = alpha * o_acc + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return o_new, m_new, l_new
+
+    o0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    o, _, l = jax.lax.fori_loop(0, num_kv, body, (o0, m0, l0))
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _pad_to(x: Array, axis: int, multiple: int) -> Array:
+    size = x.shape[axis]
+    rem = (-size) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def flash_attention(q: Array, k: Array, v: Array, scale: float,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> Array:
+    """q,k,v: (B, H, S, D) -> (B, H, S, D). Non-causal softmax attention."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    orig_dtype = q.dtype
+
+    # lane-align the head dim; zero-padding is exact for attention
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d != d_pad:
+        q = _pad_to(q, 3, d_pad)
+        k = _pad_to(k, 3, d_pad)
+        v = _pad_to(v, 3, d_pad)
+
+    qf = q.reshape(b * h, sq, d_pad)
+    kf = k.reshape(b * h, sk, d_pad)
+    vf = v.reshape(b * h, sk, d_pad)
+
+    grid = (b * h, sq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=sk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d_pad), orig_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d_pad,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qf, kf, vf)
+
+    out = out.reshape(b, h, sq, d_pad)
+    return out[..., :d]

@@ -1,0 +1,35 @@
+"""Flash attention kernel vs the einsum reference (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnpinversion_tpu.ops.attention import apply_probs, attention_probs
+from pnpinversion_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((2, 2, 256, 40), 40**-0.5),   # SD1.4 64x64-level head dim (pad path)
+    ((1, 2, 512, 64), 64**-0.5),
+    ((1, 1, 256, 128), 128**-0.5),
+])
+def test_flash_matches_reference(shape, scale):
+    b, h, s, d = shape
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    ref = apply_probs(attention_probs(q, k, scale), v)
+    out = flash_attention(q, k, v, scale, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_cross_seq():
+    """Different q/kv sequence lengths."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (1, 2, 256, 64))
+    k = jax.random.normal(kk, (1, 2, 128, 64))
+    v = jax.random.normal(kv, (1, 2, 128, 64))
+    ref = apply_probs(attention_probs(q, k, 0.125), v)
+    out = flash_attention(q, k, v, 0.125, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
