@@ -47,6 +47,11 @@ class P2PSpec:
     num_lb_slots: int = 5
     lb_res: int = 16
     latent_size: int = 64
+    # fused multi-phase batches: the cond half holds ``cond_groups`` groups of
+    # batch_size rows; only group ``edit_group`` is edited (its first row is
+    # the base). Default (1, 0) == the reference's plain CFG batch.
+    cond_groups: int = 1
+    edit_group: int = 0
 
 
 class P2PControl(BaseControl):
@@ -76,7 +81,11 @@ class P2PControl(BaseControl):
 
     def probs_hook(self, site, probs, tensors, state, step):
         B = self.spec.batch_size
-        uncond, cond = probs[:B], probs[B:]
+        G = self.spec.cond_groups
+        half = G * B
+        uncond, cond_all = probs[:half], probs[half:]
+        lo = self.spec.edit_group * B
+        cond = cond_all[lo : lo + B]
 
         if self.spec.local_blend and site.lb_slot >= 0 and site.is_cross:
             # pre-edit cond-half maps, accumulated across steps (the reference
@@ -109,7 +118,11 @@ class P2PControl(BaseControl):
             new = jnp.where(in_window, base_b, repl)
             cond = jnp.concatenate([cond[:1], new], axis=0)
 
-        return jnp.concatenate([uncond, cond], axis=0), state
+        if G == 1:
+            return jnp.concatenate([uncond, cond], axis=0), state
+        cond_all = jnp.concatenate(
+            [cond_all[:lo], cond, cond_all[lo + B:]], axis=0)
+        return jnp.concatenate([uncond, cond_all], axis=0), state
 
     # -- LocalBlend step callback ---------------------------------------------
     def step_callback(self, latents, tensors, state, step):

@@ -114,6 +114,27 @@ class P2PEditor:
 
         return self._jit(("fwd", spec), build)
 
+    def _fused_direct(self, spec: P2PSpec):
+        """Fused offsets+edit scan (sampling/p2p_forward.fused_direct_inversion_edit)."""
+        import dataclasses as _dc
+
+        from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
+
+        sched, ucfg = self.pipe.schedule, self.pipe.config.unet
+        fspec = _dc.replace(spec, cond_groups=2, edit_group=1)
+
+        def build():
+            control = P2PControl(fspec)
+
+            def fn(p, traj, cond, uncond, g, tensors, row_mask, gate):
+                return fused_direct_inversion_edit(
+                    p, sched, ucfg, traj, cond, uncond, g, control, tensors,
+                    row_mask, gate)
+
+            return jax.jit(fn)
+
+        return self._jit(("fused", fspec), build)
+
     def _forward_single_branch(self, spec: Optional[P2PSpec]):
         sched, ucfg = self.pipe.schedule, self.pipe.config.unet
 
@@ -281,9 +302,18 @@ class P2PEditor:
         cross_replace_steps=0.4, self_replace_steps=0.6,
         blend_word=None, eq_params=None, is_replace_controller=False,
         offset_scale=1.0, skip_step=1, offset_rows="source",
+        fast_recon=True, fused=True,
     ) -> Image.Image:
         """directinversion+p2p and its ablations
-        (p2p_editor.py:415-543,707-978)."""
+        (p2p_editor.py:415-543,707-978).
+
+        fast_recon: with full offsets (scale 1, no skip) the reconstruction
+        pass is mathematically the identity replay — its source row equals
+        traj[0] by construction (the paper's exact-reconstruction property),
+        so the recon panel is decode(traj[0]) and the 50 batch-4 UNet calls
+        of the replay can be skipped (~30% of per-image compute). Set False
+        to run the reference's explicit replay.
+        """
         pipe = self.pipe
         image_gt = load_image(image_path, pipe.config.vae.sample_size)
         prompts = [prompt_src, prompt_tar]
@@ -298,8 +328,24 @@ class P2PEditor:
             gi = jnp.asarray(inverse_guidance_scale, pipe.dtype)
             traj = self._invert_cfg(pipe.params["unet"], latent, uncond[:1], cond[:1], gi)
 
-        context = jnp.concatenate([uncond, cond], axis=0)
         gate = make_step_gate(pipe.schedule.num_steps, offset_scale, skip_step, pipe.dtype)
+        spec, tensors = self._make_control(
+            prompts, cross_replace_steps, self_replace_steps,
+            blend_word, eq_params, is_replace_controller)
+
+        use_fast_recon = fast_recon and offset_scale == 1.0 and skip_step == 1
+        use_fused = fused and offset_rows == "source" and use_fast_recon
+
+        if use_fused:
+            # one batch-4B scan computes offsets AND the controlled edit
+            row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+            edit_latents = self._fused_direct(spec)(
+                pipe.params["unet"], traj, cond, uncond, g, tensors, row_mask, gate)
+            recon = np.asarray(self._decode_image(pipe.params["vae"], traj[0]))[0]
+            edit = np.asarray(self._decode_image(pipe.params["vae"], edit_latents[-1:]))[0]
+            return self._strip(prompt_src, prompt_tar, image_gt, recon, edit)
+
+        context = jnp.concatenate([uncond, cond], axis=0)
         noise_loss, _ = self._offsets(pipe.params["unet"], traj, context, g, gate)
 
         if offset_rows == "source":
@@ -311,13 +357,13 @@ class P2PEditor:
             row_mask = jnp.array([1.0, 1.0], pipe.dtype)
 
         x_t = traj[-1]
-        recon_latents = self._forward(None)(
-            pipe.params["unet"], x_t, cond, uncond, g, None, noise_loss, row_mask)
-        recon = np.asarray(self._decode_image(pipe.params["vae"], recon_latents[:1]))[0]
+        if use_fast_recon:
+            recon = np.asarray(self._decode_image(pipe.params["vae"], traj[0]))[0]
+        else:
+            recon_latents = self._forward(None)(
+                pipe.params["unet"], x_t, cond, uncond, g, None, noise_loss, row_mask)
+            recon = np.asarray(self._decode_image(pipe.params["vae"], recon_latents[:1]))[0]
 
-        spec, tensors = self._make_control(
-            prompts, cross_replace_steps, self_replace_steps,
-            blend_word, eq_params, is_replace_controller)
         edit_latents = self._forward(spec)(
             pipe.params["unet"], x_t, cond, uncond, g, tensors, noise_loss, row_mask)
         edit = np.asarray(self._decode_image(pipe.params["vae"], edit_latents[-1:]))[0]

@@ -83,6 +83,61 @@ def guidance_forward(
     return latents
 
 
+def fused_direct_inversion_edit(
+    params,
+    schedule: DDIMSchedule,
+    config: UNetConfig,
+    trajectory: Array,  # (T+1, 1, h, w, c) inversion trajectory
+    cond_embeddings: Array,  # (B, 77, D)
+    uncond_embeddings: Array,  # (B, 77, D)
+    guidance_scale: Array,
+    control: BaseControl,
+    tensors: Dict[str, Array],
+    offset_row_mask: Array,  # (B,)
+    step_gate: Array,  # (T,)
+) -> Array:
+    """DirectInversion offsets + controlled edit in ONE scan (batch 4B).
+
+    The reference runs the offset replay and the edit pass as two separate
+    50-step loops (inversion.py:375-391 then p2p_guidance_forward.py:135-173);
+    since the step-i offset depends only on the offset-phase state, both fit
+    one scan whose UNet call batches [off_u, edit_u, off_c, edit_c] — the same
+    FLOPs at twice the batch (better MXU utilization, half the dispatches).
+    ``control`` must carry spec.cond_groups=2, edit_group=1.
+
+    Returns final edit latents (B, h, w, c).
+    """
+    T = schedule.num_steps
+    B = cond_embeddings.shape[0]
+    x_t = jnp.broadcast_to(trajectory[-1], (B,) + trajectory.shape[2:])
+    ctx = jnp.concatenate(
+        [uncond_embeddings, uncond_embeddings, cond_embeddings, cond_embeddings],
+        axis=0)
+    state0 = control.init_state(B, x_t.dtype, heads=config.num_heads)
+    rm = offset_row_mask[:, None, None, None]
+
+    def body(carry, i):
+        lat_off, lat_edit, state = carry
+        t = schedule.timesteps[i]
+        latent_prev = jnp.broadcast_to(trajectory[T - 1 - i], lat_off.shape)
+        x_in = jnp.concatenate([lat_off, lat_edit, lat_off, lat_edit], axis=0)
+        eps4, state = unet_apply(
+            params, x_in, t, ctx, config, control, tensors, state, step=i)
+        eps_off = classifier_free_guidance(eps4[:B], eps4[2 * B : 3 * B],
+                                           guidance_scale)
+        eps_edit = classifier_free_guidance(eps4[B : 2 * B], eps4[3 * B :],
+                                            guidance_scale)
+        prev_rec = ddim_step(schedule, eps_off, t, lat_off)
+        loss = (latent_prev - prev_rec) * step_gate[i]
+        lat_off = prev_rec + loss
+        lat_edit = ddim_step(schedule, eps_edit, t, lat_edit) + loss * rm
+        lat_edit, state = control.step_callback(lat_edit, tensors, state, i)
+        return (lat_off, lat_edit, state), ()
+
+    (_, lat_edit, _), _ = jax.lax.scan(body, (x_t, x_t, state0), jnp.arange(T))
+    return lat_edit
+
+
 def guidance_forward_single_branch(
     params,
     schedule: DDIMSchedule,
