@@ -28,6 +28,10 @@ def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParse
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="converted SD weights (orbax/safetensors dir)")
     p.add_argument("--num_ddim_steps", type=int, default=50)
+    p.add_argument("--run_log", type=str, default=None,
+                   help="JSONL run log (per-image timings/errors)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="xprof trace dir (profiles the first edited image)")
     return p
 
 
@@ -36,6 +40,11 @@ def run_benchmark(
     edit_fn: Callable,  # (edit_method, item) -> PIL.Image
     image_save_paths: Dict[str, str],
 ) -> None:
+    from pnpinversion_tpu.utils.observability import RunLogger, profile_trace
+
+    logger = RunLogger(getattr(args, "run_log", None))
+    profile_dir = getattr(args, "profile_dir", None)
+    profiled = False
     dataset = PieBenchDataset(args.data_path)
     for item in dataset.items(args.edit_category_list):
         for edit_method in args.edit_method_list:
@@ -45,10 +54,14 @@ def run_benchmark(
                                      "annotation_images", rel)
             if os.path.exists(save_path) and not args.rerun_exist_images:
                 print(f"skip image [{item.image_path}] with [{edit_method}]")
+                logger.log("image_skip", key=item.key, method=edit_method)
                 continue
             print(f"editing image [{item.image_path}] with [{edit_method}]")
             np.random.seed(1234)
-            edited = edit_fn(edit_method, item)
+            with logger.image(item.key, edit_method):
+                with profile_trace(profile_dir if not profiled else None):
+                    edited = edit_fn(edit_method, item)
+                profiled = profiled or bool(profile_dir)
             os.makedirs(os.path.dirname(save_path), exist_ok=True)
             edited.save(save_path)
             print("finish")

@@ -102,9 +102,12 @@ def calculate_metric(calc, metric: str, src_image, tgt_image, src_mask, tgt_mask
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def crop_edit_panel(img: Image.Image, panel: int = 512) -> Image.Image:
-    """Strips are 4x512 wide; the edit result is the last panel (:271-273)."""
+def crop_edit_panel(img: Image.Image, panel: Optional[int] = None) -> Image.Image:
+    """Strips are Nx panels of height-sized squares; the edit result is the
+    last panel (:271-273). panel defaults to the strip height (512 for the
+    reference contract)."""
     if img.size[0] != img.size[1]:
+        panel = panel or img.size[1]
         img = img.crop((img.size[0] - panel, img.size[1] - panel,
                         img.size[0], img.size[1]))
     return img
