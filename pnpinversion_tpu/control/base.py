@@ -104,6 +104,22 @@ class BaseControl:
         embedding (/root/reference/models/stylediffusion/utils.py:446-464)."""
         return context
 
+    def attention_override(
+        self,
+        site: AttnSite,
+        q: Array,
+        k: Array,
+        v: Array,
+        scale: float,
+        tensors: Tensors,
+        state: State,
+        step: Array,
+    ):
+        """Full takeover of one attention site. Return (out, state) with out
+        shaped (B, H, Sq, D) to bypass the standard path, or None to proceed
+        (MasaCtrl's masked fg/bg variants need two softmaxes per query)."""
+        return None
+
     def needs_probs(self, site: AttnSite) -> bool:
         return False
 

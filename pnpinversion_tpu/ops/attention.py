@@ -97,6 +97,12 @@ def controlled_attention(
     v = split_heads(linear(params["to_v"], ctx_v.astype(x.dtype)), heads)
     scale = (q.shape[-1]) ** -0.5
 
+    override = control.attention_override(site, q, k, v, scale, tensors, state, step)
+    if override is not None:
+        out, state = override
+        out = linear(params["to_out"], merge_heads(out))
+        return out, state
+
     q, k, v = control.qkv_hook(site, q, k, v, tensors, state, step)
 
     if control.needs_probs(site):
