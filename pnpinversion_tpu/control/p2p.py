@@ -155,6 +155,18 @@ class P2PControl(BaseControl):
         return jnp.where(active, blended, latents), state
 
 
+class SpatialReplaceControl(BaseControl):
+    """SpatialReplace (attention_control.py:201-211): before ``stop_inject``
+    steps, broadcast the source latent row to the whole batch after each step."""
+
+    def __init__(self, stop_inject: float, num_ddim_steps: int = 50):
+        self.stop_inject = int((1 - stop_inject) * num_ddim_steps)
+
+    def step_callback(self, latents, tensors, state, step):
+        src = jnp.broadcast_to(latents[:1], latents.shape)
+        return jnp.where(step < self.stop_inject, src, latents), state
+
+
 # ---------------------------------------------------------------------------
 # host-side builder (mirrors make_controller, attention_control.py:366-405)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,15 @@ from pnpinversion_tpu.utils.image import make_strip, txt_draw
 XA_GUIDANCE = 0.1
 
 
+def construct_direction(pipe: SDPipeline, src_sentences, tgt_sentences):
+    """Mean sentence-embedding difference (models/pix2pix_zero/edit_directions.py:22-27
+    generalized: the reference loads precomputed banks; the runner computes it
+    from the prompts directly, run_editing_pix2pix_zero.py:56-70)."""
+    emb_src = pipe.encode_prompt(list(src_sentences)).mean(axis=0, keepdims=True)
+    emb_tar = pipe.encode_prompt(list(tgt_sentences)).mean(axis=0, keepdims=True)
+    return emb_tar - emb_src
+
+
 class Pix2PixZeroEditor:
     def __init__(self, pipeline: SDPipeline, captioner: Optional[Callable] = None,
                  steps_offset: int = 1):

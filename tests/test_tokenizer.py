@@ -1,0 +1,56 @@
+"""CLIP BPE tokenizer vs transformers' CLIPTokenizer on a synthetic vocab."""
+import json
+
+import pytest
+
+from pnpinversion_tpu.utils.tokenizer import CLIPBPETokenizer, SimpleWordTokenizer
+
+
+@pytest.fixture()
+def vocab_dir(tmp_path):
+    # byte-level alphabet + some merges
+    from pnpinversion_tpu.utils.tokenizer import _bytes_to_unicode
+
+    alphabet = list(_bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    for c in alphabet:
+        vocab[c + "</w>"] = len(vocab)
+    merges = ["c a", "ca t</w>", "d o", "do g</w>", "o n</w>", "a</w>"]
+    for m in merges:
+        tok = "".join(m.split())
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n")
+    return str(tmp_path)
+
+
+def test_clip_bpe_matches_transformers(vocab_dir):
+    from transformers import CLIPTokenizer
+
+    ref = CLIPTokenizer(vocab_file=f"{vocab_dir}/vocab.json",
+                        merges_file=f"{vocab_dir}/merges.txt")
+    ours = CLIPBPETokenizer(vocab_dir)
+    for text in ["a cat", "a dog on a cat", "dog dog dog", "zz qq"]:
+        assert ours.encode(text) == ref.encode(text), text
+
+
+def test_clip_bpe_padding(vocab_dir):
+    tok = CLIPBPETokenizer(vocab_dir)
+    out = tok(["a cat"], max_length=10)["input_ids"][0]
+    assert len(out) == 10
+    assert out[0] == tok.bos_token_id
+    assert out[-1] == tok.pad_token_id
+
+
+def test_simple_tokenizer_protocol():
+    tok = SimpleWordTokenizer()
+    ids = tok.encode("A Cat on a mat")
+    assert ids[0] == tok.bos_token_id and ids[-1] == tok.eos_token_id
+    # stable ids for repeated words
+    assert ids[1] != ids[2]
+    assert tok.encode("a cat")[1] == ids[1]
+    assert tok.decode([ids[2]]) == "cat"
