@@ -75,9 +75,37 @@ class P2PControl(BaseControl):
 
     # -- attention -----------------------------------------------------------
     def needs_probs(self, site: AttnSite) -> bool:
-        if site.is_cross:
-            return True
-        return site.seq_len <= SELF_EDIT_MAX_SEQ
+        # cross maps are tiny (Sk=77) and needed for the mapper edits/store;
+        # self-attn edits go through attention_override so the fused path
+        # never materializes (rows, S, S) scores for the whole batch
+        return site.is_cross
+
+    def attention_override(self, site, q, k, v, scale, tensors, state, step):
+        """Self-attention replace without batch-wide probs: flash for every
+        row, then overwrite the edited rows with base_probs @ v_row (only ONE
+        row's scores are materialized)."""
+        if site.is_cross or site.seq_len > SELF_EDIT_MAX_SEQ:
+            return None
+        from pnpinversion_tpu.ops.attention import (
+            apply_probs,
+            attention_probs,
+            fused_attention,
+        )
+
+        B = self.spec.batch_size
+        half = self.spec.cond_groups * B
+        lo = half + self.spec.edit_group * B
+
+        out = fused_attention(q, k, v, scale)
+        base_probs = attention_probs(q[lo : lo + 1], k[lo : lo + 1], scale)
+        edited = apply_probs(jnp.broadcast_to(base_probs,
+                                              (B - 1,) + base_probs.shape[1:]),
+                             v[lo + 1 : lo + B])
+        in_window = (step >= self.spec.self_replace_start) & (
+            step < self.spec.self_replace_end)
+        new_rows = jnp.where(in_window, edited, out[lo + 1 : lo + B])
+        out = jax.lax.dynamic_update_slice_in_dim(out, new_rows, lo + 1, axis=0)
+        return out, state
 
     def probs_hook(self, site, probs, tensors, state, step):
         B = self.spec.batch_size

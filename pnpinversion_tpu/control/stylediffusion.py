@@ -81,12 +81,20 @@ class StyleDiffusionControl(BaseControl):
         cond_new = jnp.where(gate[:, None, None], mapped, cond)
         return jnp.concatenate([context[:B], cond_new], axis=0)
 
+    def _uncond_window(self) -> bool:
+        return self.spec.uncond_self_end > self.spec.uncond_self_start
+
     def needs_probs(self, site: AttnSite) -> bool:
-        s = self.spec
-        has_uncond_window = s.uncond_self_end > s.uncond_self_start
-        if self.p2p is None:
-            return has_uncond_window and not site.is_cross and site.seq_len <= SELF_EDIT_MAX_SEQ
-        return self.p2p.needs_probs(site)
+        if not site.is_cross:
+            # self edits: probs path only when the tau_u window needs the
+            # uncond half too; otherwise attention_override handles them
+            return self._uncond_window() and site.seq_len <= SELF_EDIT_MAX_SEQ
+        return self.p2p.needs_probs(site) if self.p2p is not None else False
+
+    def attention_override(self, site, q, k, v, scale, tensors, state, step):
+        if site.is_cross or self.p2p is None or self._uncond_window():
+            return None
+        return self.p2p.attention_override(site, q, k, v, scale, tensors, state, step)
 
     def probs_hook(self, site, probs, tensors, state, step):
         if self.p2p is not None:

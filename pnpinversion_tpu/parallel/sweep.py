@@ -79,24 +79,27 @@ class BatchedDirectInversionP2P:
     def _fn(self, spec: P2PSpec):
         if spec in self._cache:
             return self._cache[spec]
+        import dataclasses as _dc
+
+        from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
+
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
-        control = P2PControl(spec)
+        control = P2PControl(_dc.replace(spec, cond_groups=2, edit_group=1))
 
         def one_image(params, image_u8, cond, uncond, g, tensors):
-            """image_u8 (H,W,3); cond/uncond (2,77,D); tensors per-image pytree."""
+            """image_u8 (H,W,3); cond/uncond (2,77,D); tensors per-image pytree.
+            Uses the fused offsets+edit scan and the exact-reconstruction
+            shortcut (recon = decode(traj[0]))."""
             vae_p, unet_p = params["vae"], params["unet"]
             latent = image_to_latent(vae_p, image_u8, vcfg, dtype=pipe.dtype)
             traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
-            context = jnp.concatenate([uncond, cond], axis=0)
-            noise_loss, _ = direct_inversion_offsets(unet_p, sched, traj, context, g, ucfg)
             row_mask = jnp.array([1.0, 0.0], pipe.dtype)
-            x_t = traj[-1]
-            recon = guidance_forward(unet_p, sched, ucfg, x_t, cond, uncond, g,
-                                     noise_loss=noise_loss, offset_row_mask=row_mask)
-            edit = guidance_forward(unet_p, sched, ucfg, x_t, cond, uncond, g,
-                                    control, tensors, noise_loss, row_mask)
-            recon_img = latent_to_image(vae_p, recon[:1], vcfg)[0]
+            gate = jnp.ones((sched.num_steps,), pipe.dtype)
+            edit = fused_direct_inversion_edit(
+                unet_p, sched, ucfg, traj, cond, uncond, g, control, tensors,
+                row_mask, gate)
+            recon_img = latent_to_image(vae_p, traj[0], vcfg)[0]
             edit_img = latent_to_image(vae_p, edit[-1:], vcfg)[0]
             return recon_img, edit_img
 

@@ -145,6 +145,30 @@ def test_self_replace_window():
     np.testing.assert_allclose(np.asarray(out), np.asarray(probs), atol=1e-6)
 
 
+def test_attention_override_matches_probs_path():
+    """The memory-light self-attn override must equal the probs-path edit."""
+    tok = SimpleWordTokenizer()
+    ctrl, tensors = _our_control(tok, PROMPTS, False, None, None, num_steps=50)
+    site = [s for pair in enumerate_sites(SD14_UNET) for s in pair
+            if not s.is_cross and s.seq_len <= 32**2][0]
+    site = type(site)(**{**site.__dict__, "heads": HEADS})
+    rng = np.random.RandomState(7)
+    S, D = site.seq_len, 8
+    q = jnp.asarray(rng.randn(4, HEADS, S, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(4, HEADS, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(4, HEADS, S, D).astype(np.float32))
+    scale = D**-0.5
+    for step in (0, 40):  # in / out of the self-replace window
+        from pnpinversion_tpu.ops.attention import apply_probs, attention_probs
+
+        probs = attention_probs(q, k, scale)
+        probs_edit, _ = ctrl.probs_hook(site, probs, tensors, {}, jnp.int32(step))
+        ref = apply_probs(probs_edit, v)
+        out, _ = ctrl.attention_override(site, q, k, v, scale, tensors, {},
+                                         jnp.int32(step))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_uncond_half_untouched():
     tok = SimpleWordTokenizer()
     ctrl, tensors = _our_control(tok, PROMPTS, False, None, None)
