@@ -113,11 +113,25 @@ def coupled_scan(
 
 
 class EDICTEditor:
+    """EDICT's exact invertibility is precision-critical (the reference runs
+    float64, edict_functions.py:50-52). TPUs have no fast f64; we run the
+    coupled scans in float32 regardless of the pipeline dtype (bf16 round-trip
+    error is visibly destructive; f32 keeps recon MSE small)."""
+
     def __init__(self, pipeline: SDPipeline):
         self.pipe = pipeline
         # EDICT constructs a plain DDIMScheduler (steps_offset=0)
         self.schedule = make_ddim_schedule(num_steps=pipeline.schedule.num_steps)
         self._jit_cache: Dict = {}
+        self._f32_params = None
+
+    def _unet_f32(self):
+        if self._f32_params is None:
+            self._f32_params = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                self.pipe.params["unet"])
+        return self._f32_params
 
     def _jit(self, key, builder):
         if key not in self._jit_cache:
@@ -163,7 +177,7 @@ class EDICTEditor:
         image_gt = load_image(image_path, pipe.config.vae.sample_size)
 
         enc = self._jit("enc", lambda: jax.jit(
-            lambda p, img: image_to_latent(p, img, pipe.config.vae, dtype=pipe.dtype)))
+            lambda p, img: image_to_latent(p, img, pipe.config.vae, dtype=jnp.float32)))
         dec = self._jit("dec", lambda: jax.jit(
             lambda p, z: latent_to_image(p, z, pipe.config.vae)))
 
@@ -178,26 +192,26 @@ class EDICTEditor:
         # recon panel: full round trip at strength 1.0, guidance 7.0
         g7 = jnp.asarray(recon_guidance_scale, pipe.dtype)
         inv_full = self._coupled(0, True, mix_weight)(
-            pipe.params["unet"], pair0, ctx_src, g7)
+            self._unet_f32(), pair0, ctx_src, g7)
         rec_pair = self._coupled(0, False, mix_weight)(
-            pipe.params["unet"], inv_full, ctx_src, g7)
+            self._unet_f32(), inv_full, ctx_src, g7)
         recon = np.asarray(dec(pipe.params["vae"], rec_pair[0]))[0]
 
         # edit: strength 0.8, guidance 3
         t_limit = T - int(T * init_image_strength)
         g3 = jnp.asarray(guidance_scale, pipe.dtype)
         inv_pair = self._coupled(t_limit, True, mix_weight)(
-            pipe.params["unet"], pair0, ctx_src, g3)
+            self._unet_f32(), pair0, ctx_src, g3)
         if not use_p2p:
             out_pair = self._coupled(t_limit, False, mix_weight)(
-                pipe.params["unet"], inv_pair, ctx_tar, g3)
+                self._unet_f32(), inv_pair, ctx_tar, g3)
         else:
             from pnpinversion_tpu.control.edict_p2p import make_edict_p2p_tensors
 
             tensors = make_edict_p2p_tensors(
                 prompt_src, prompt_tar, pipe.tokenizer, pipe.config.text.max_length)
             out_pair = self._coupled(t_limit, False, mix_weight, use_p2p=True)(
-                pipe.params["unet"], inv_pair, ctx_src, g3, tensors, cond_tar)
+                self._unet_f32(), inv_pair, ctx_src, g3, tensors, cond_tar)
         edit = np.asarray(dec(pipe.params["vae"], out_pair[0]))[0]
 
         size = pipe.config.vae.sample_size
