@@ -112,6 +112,8 @@ def vit_apply(
         image, params["patch_embed"].astype(image.dtype),
         (cfg.patch_size, cfg.patch_size), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "patch_bias" in params:  # CLIP's patch conv has no bias; DINO's does
+        patches = patches + params["patch_bias"].astype(image.dtype)
     n = patches.shape[1] * patches.shape[2]
     x = patches.reshape(b, n, cfg.width)
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, cfg.width))
