@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Multi-chip sharded PIE-Bench sweep for directinversion+p2p.
+
+Replaces the reference's manual multi-process category split
+(SURVEY.md §2.14) with a dp-sharded image-batched pipeline: items are
+grouped by controller spec (replace/refine x blend on/off), padded to the
+device count, and edited N-per-step across the mesh. Outputs keep the
+reference's 4-panel-strip / skip-existing contract, so the sweep is
+restartable and evaluable by evaluation/evaluate.py unchanged.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from pnpinversion_tpu.cli import standard_argparser
+from pnpinversion_tpu.configs import SD14
+from pnpinversion_tpu.control.p2p import make_p2p_control
+from pnpinversion_tpu.data.pie_bench import PieBenchDataset, load_image
+from pnpinversion_tpu.parallel.sweep import (
+    BatchedDirectInversionP2P,
+    group_items_by_spec,
+    make_dp_mesh,
+    pad_batch,
+)
+from pnpinversion_tpu.pipeline import SDPipeline
+from pnpinversion_tpu.utils.image import make_strip, txt_draw
+from pnpinversion_tpu.utils.observability import RunLogger
+
+METHOD = "directinversion+p2p"
+
+
+def main(argv=None):
+    parser = standard_argparser([METHOD])
+    parser.add_argument("--batch_per_device", type=int, default=1)
+    parser.add_argument("--n_devices", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
+                             checkpoint_dir=args.checkpoint_dir,
+                             dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
+                             else jnp.float32)
+    mesh = make_dp_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    sweep = BatchedDirectInversionP2P(pipe, mesh)
+    logger = RunLogger(args.run_log)
+    dataset = PieBenchDataset(args.data_path)
+    size = pipe.config.vae.sample_size
+
+    # collect pending items with their controller tensors
+    pending = []
+    for item in dataset.items(args.edit_category_list):
+        rel = os.path.relpath(item.image_path,
+                              os.path.join(args.data_path, "annotation_images"))
+        save_path = os.path.join(args.output_path, METHOD, "annotation_images", rel)
+        if os.path.exists(save_path) and not args.rerun_exist_images:
+            logger.log("image_skip", key=item.key, method=METHOD)
+            continue
+        blended = item.blended_word
+        ctrl, tensors = make_p2p_control(
+            [item.source_prompt, item.target_prompt], pipe.tokenizer,
+            num_steps=pipe.schedule.num_steps,
+            cross_replace_steps=0.4, self_replace_steps=0.6,
+            is_replace_controller=False,
+            blend_words=(((blended[0],), (blended[1],)) if blended else None),
+            eq_params=({"words": (blended[1],), "values": (2,)} if blended else None),
+            num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
+            latent_size=pipe.latent_size)
+        pending.append({"item": item, "save_path": save_path,
+                        "spec": ctrl.spec, "tensors": tensors})
+
+    if not pending:
+        print("nothing to do")
+        return
+
+    batch = n_dev * args.batch_per_device
+    for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
+        for lo in range(0, len(group), batch):
+            chunk = group[lo : lo + batch]
+            images = [load_image(e["item"].image_path, size) for e in chunk]
+            imgs, n_real = pad_batch(images, batch)
+            conds = [pipe.encode_prompt([e["item"].source_prompt,
+                                         e["item"].target_prompt]) for e in chunk]
+            cond, _ = pad_batch([np.asarray(c) for c in conds], batch)
+            uncond = pipe.encode_prompt(["", ""])
+            tb_list = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
+                batch - n_real)
+            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb_list)
+
+            recon, edit = sweep.edit_batch(
+                spec, jnp.asarray(imgs), jnp.asarray(cond), uncond, 7.5, tensors_b)
+            recon = np.asarray(recon)
+            edit = np.asarray(edit)
+
+            for i, e in enumerate(chunk):
+                item = e["item"]
+                instruct = txt_draw(
+                    f"source prompt: {item.source_prompt}\n"
+                    f"target prompt: {item.target_prompt}", target_size=(size, size))
+                strip = make_strip([instruct, images[i], recon[i], edit[i]])
+                os.makedirs(os.path.dirname(e["save_path"]), exist_ok=True)
+                strip.save(e["save_path"])
+                logger.log("image_done", key=item.key, method=METHOD)
+                print(f"saved {e['save_path']}")
+
+
+if __name__ == "__main__":
+    main()
