@@ -21,8 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# tuned on v5e for the SD1.4 64x64 self-attention (B8,H8,S4096,D40->128):
+# (256,512)=6.5ms, (512,512)=5.8ms, (512,1024)=5.5ms vs einsum 14.1ms
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
