@@ -16,3 +16,24 @@ evaluation) as a single unified framework designed for TPU:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps bare `import pnpinversion_tpu` light)."""
+    if name == "SDPipeline":
+        from pnpinversion_tpu.pipeline import SDPipeline
+
+        return SDPipeline
+    if name in ("SD14", "SD21", "IP2P", "TINY"):
+        import pnpinversion_tpu.configs as configs
+
+        return getattr(configs, name)
+    if name == "P2PEditor":
+        from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+
+        return P2PEditor
+    if name == "MetricsCalculator":
+        from pnpinversion_tpu.evaluation.calculator import MetricsCalculator
+
+        return MetricsCalculator
+    raise AttributeError(name)
