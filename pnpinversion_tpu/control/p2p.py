@@ -52,6 +52,9 @@ class P2PSpec:
     # the base). Default (1, 0) == the reference's plain CFG batch.
     cond_groups: int = 1
     edit_group: int = 0
+    # self-attn replace size threshold: 32² for P2P (attention_control.py:259),
+    # 16² for edit-friendly DDPM's controller copy (ptp_classes.py:106)
+    self_edit_max_seq: int = SELF_EDIT_MAX_SEQ
 
 
 class P2PControl(BaseControl):
@@ -84,7 +87,7 @@ class P2PControl(BaseControl):
         """Self-attention replace without batch-wide probs: flash for every
         row, then overwrite the edited rows with base_probs @ v_row (only ONE
         row's scores are materialized)."""
-        if site.is_cross or site.seq_len > SELF_EDIT_MAX_SEQ:
+        if site.is_cross or site.seq_len > self.spec.self_edit_max_seq:
             return None
         from pnpinversion_tpu.ops.attention import (
             apply_probs,
@@ -138,7 +141,7 @@ class P2PControl(BaseControl):
                 new = new * tensors["equalizer"][:, None, None, :]
             new = new * alpha_words + (1.0 - alpha_words) * repl
             cond = jnp.concatenate([cond[:1], new], axis=0)
-        elif site.seq_len <= SELF_EDIT_MAX_SEQ:
+        elif site.seq_len <= self.spec.self_edit_max_seq:
             in_window = (step >= self.spec.self_replace_start) & (
                 step < self.spec.self_replace_end
             )
@@ -214,6 +217,7 @@ def make_p2p_control(
     num_lb_slots: int = 5,
     lb_res: int = 16,
     latent_size: int = 64,
+    self_edit_max_seq: int = SELF_EDIT_MAX_SEQ,
 ) -> Tuple[P2PControl, Dict[str, Array]]:
     """Build (control, tensors) for an edit. All tensors are jnp arrays."""
     B = len(prompts)
@@ -233,6 +237,7 @@ def make_p2p_control(
         num_lb_slots=num_lb_slots,
         lb_res=lb_res,
         latent_size=latent_size,
+        self_edit_max_seq=self_edit_max_seq,
     )
 
     tensors: Dict[str, Array] = {

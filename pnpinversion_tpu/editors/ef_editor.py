@@ -103,7 +103,10 @@ class EditFriendlyEditor:
             self_replace_steps=self_replace_steps,
             is_replace_controller=is_replace,
             num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
-            latent_size=pipe.latent_size)
+            latent_size=pipe.latent_size,
+            # EF's controller copy replaces self-attn only at <=16^2
+            # (ptp_classes.py:106), unlike P2P's 32^2
+            self_edit_max_seq=16 * 16)
 
         cond = pipe.encode_prompt(prompts)
         uncond = pipe.encode_prompt(["", ""])
