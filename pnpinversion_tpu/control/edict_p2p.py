@@ -21,7 +21,7 @@ active at every step, so no step gating is required; token re-weighting
 from __future__ import annotations
 
 from difflib import SequenceMatcher
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ p2p_guidance_forward.py:11-13): the UNet is called with 2B rows
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

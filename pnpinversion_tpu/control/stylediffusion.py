@@ -9,13 +9,11 @@ tau_u=0.0 which disables it, run_editing_stylediffusion.py:255).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 
 from pnpinversion_tpu.control.base import AttnSite, BaseControl
-from pnpinversion_tpu.control.p2p import P2PControl, P2PSpec, SELF_EDIT_MAX_SEQ
+from pnpinversion_tpu.control.p2p import P2PControl, SELF_EDIT_MAX_SEQ
 from pnpinversion_tpu.models.stylediffusion import forward_embed, mapper_at_step
 
 Array = jax.Array

@@ -14,7 +14,7 @@ Methods: edict+direct_forward (target prompt directly) and edict+p2p
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

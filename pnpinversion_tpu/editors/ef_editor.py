@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from pnpinversion_tpu.control.p2p import P2PSpec, make_p2p_control
+from pnpinversion_tpu.control.p2p import make_p2p_control
 from pnpinversion_tpu.control.p2p import P2PControl
 from pnpinversion_tpu.data.pie_bench import load_image
 from pnpinversion_tpu.inversion.ef_ddpm import ef_forward_process, ef_reverse_process

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from pnpinversion_tpu.control.p2p import P2PControl, make_p2p_control
+from pnpinversion_tpu.control.p2p import make_p2p_control
 from pnpinversion_tpu.control.stylediffusion import (
     StyleDiffusionControl,
     StyleDiffusionSpec,

@@ -9,7 +9,6 @@ with converted CLIP/LPIPS/DINO weights for real numbers.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

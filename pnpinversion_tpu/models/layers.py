@@ -8,7 +8,7 @@ used throughout (TPU-native; the reference's NCHW is a CUDA convention).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

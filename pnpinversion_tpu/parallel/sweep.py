@@ -30,7 +30,6 @@ from pnpinversion_tpu.inversion.ddim_inversion import (
 )
 from pnpinversion_tpu.models.vae import image_to_latent, latent_to_image
 from pnpinversion_tpu.pipeline import SDPipeline
-from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
 
 Array = jax.Array
 

@@ -12,7 +12,7 @@ One compiled scan serves all DirectInversion variants: the offset row-mask
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ invertible in any precision up to rounding) and expose dtype for CPU f64 runs.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

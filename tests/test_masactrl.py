@@ -27,12 +27,16 @@ def _our_attention(q, k, v, scale):
 def test_masactrl_matches_reference(step, expect_active):
     import torch
 
-    # stub modules the oracle imports but never uses on this path
+    # stub modules the oracle imports but never uses on this path; give them
+    # real ModuleSpecs so importlib.util.find_spec (used by transformers'
+    # lazy imports) doesn't trip over __spec__ is None
+    import importlib.machinery
     import types
 
     for mod in ("torchvision", "torchvision.utils", "cv2"):
         if mod not in sys.modules:
             stub = types.ModuleType(mod)
+            stub.__spec__ = importlib.machinery.ModuleSpec(mod, loader=None)
             if mod == "torchvision.utils":
                 stub.save_image = lambda *a, **k: None
             sys.modules[mod] = stub
