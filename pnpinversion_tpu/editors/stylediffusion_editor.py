@@ -126,8 +126,10 @@ class StyleDiffusionEditor:
                              tensors_recon, zeros, rm)
         recon = np.asarray(dec(pipe.params["vae"], recon_lat[:1]))[0]
 
-        # 4) edit pass with taus
-        is_replace = len(prompt_src.strip(" ")) == len(prompt_tar.strip(" "))
+        # 4) edit pass with taus. The reference never selects a Replace
+        # controller here: run_editing_stylediffusion.py:253 hardcodes
+        # is_replace_controller=False (refine-only), regardless of prompts.
+        is_replace = bool(is_replace_controller) if is_replace_controller is not None else False
         p2p, p2p_tensors = make_p2p_control(
             prompts, pipe.tokenizer, num_steps=T,
             cross_replace_steps={"default_": tau_c}, self_replace_steps=tau_s,

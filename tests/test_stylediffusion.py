@@ -96,3 +96,25 @@ def test_stylediffusion_editor_runs():
     arr = np.asarray(strip)
     assert arr.shape == (size, 4 * size, 3)
     assert np.isfinite(arr).all()
+
+
+def test_stylediffusion_refine_only_controller():
+    """Reference run_editing_stylediffusion.py:253 always passes
+    is_replace_controller=False. Round-1 regression: a char-length (not word
+    count!) comparison selected a Replace controller whenever char counts
+    matched, crashing get_replacement_mapper_single on prompts with equal
+    char-length but different word counts. These prompts hit exactly that."""
+    from pnpinversion_tpu.editors.stylediffusion_editor import StyleDiffusionEditor
+
+    src, tar = "a cat sat", "bigredcat"  # 9 chars each; 3 words vs 1 word
+    assert len(src) == len(tar) and len(src.split()) != len(tar.split())
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(31), num_ddim_steps=4)
+    editor = StyleDiffusionEditor(pipe, clip_vision_cfg=TINY_CLIP)
+    rng = np.random.RandomState(10)
+    size = pipe.config.vae.sample_size
+    img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    strip = editor("stylediffusion+p2p", img, src, tar, num_inner_steps=1)
+    arr = np.asarray(strip)
+    assert arr.shape == (size, 4 * size, 3)
+    assert np.isfinite(arr).all()
