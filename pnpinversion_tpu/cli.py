@@ -16,6 +16,19 @@ import numpy as np
 from pnpinversion_tpu.data.pie_bench import PieBenchDataset
 
 
+def setup_compile_cache() -> None:
+    """Persistent XLA compile cache (same location as tests/bench). On this
+    class of box a cold 512px pipeline compile costs minutes of single-core
+    CPU; the cache makes every later runner invocation start warm."""
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--rerun_exist_images", action="store_true")
@@ -42,6 +55,7 @@ def run_benchmark(
 ) -> None:
     from pnpinversion_tpu.utils.observability import RunLogger, profile_trace
 
+    setup_compile_cache()
     logger = RunLogger(getattr(args, "run_log", None))
     profile_dir = getattr(args, "profile_dir", None)
     profiled = False

@@ -53,13 +53,24 @@ def coupled_scan(
     control: BaseControl = NO_CONTROL,
     tensors=None,
     edit_context: Optional[Array] = None,  # (1, 77, D) for the p2p takeover
+    precision: str = "f32",  # "f32" | "df64" (double-float latent carry)
 ):
-    """One EDICT pass over timesteps[t_limit:] (flipped when reverse)."""
+    """One EDICT pass over timesteps[t_limit:] (flipped when reverse).
+
+    precision="df64" carries the latent pair as double-float (two f32 words,
+    schedulers/edict_df.py), emulating the reference's float64 step/mix
+    algebra (edict_functions.py:50-52) at TPU speed; the UNet still runs f32.
+    """
     ts = schedule.timesteps[t_limit:]
     if reverse:
         ts = ts[::-1]
     L = ts.shape[0]
     step_fn = edict_reverse_step if reverse else edict_forward_step
+    if precision == "df64":
+        from pnpinversion_tpu.schedulers.edict_df import edict_df_coeffs
+
+        a_hi, a_lo, c_hi, c_lo = (jnp.asarray(x) for x in edict_df_coeffs(
+            num_steps, t_limit, reverse, schedule.num_train_timesteps))
 
     def eps_at(x, t, state, step):
         if edit_context is None:

@@ -166,7 +166,11 @@ def main():
 
     registry = all_tgt_image_folders(args.output_root)
     if args.evaluate_whole_table:
-        folders = {k: v for k, v in registry.items() if k[0] in args.tgt_methods}
+        # --tgt_methods holds group ids ("1".."8") in whole-table mode
+        # (reference evaluate.py:216-231); match the full group prefix, not
+        # the first character, so multi-digit groups stay unambiguous.
+        folders = {k: v for k, v in registry.items()
+                   if k.split("_", 1)[0] in args.tgt_methods}
     else:
         folders = {k: registry[k] for k in args.tgt_methods}
 

@@ -4,9 +4,9 @@ cross-attention), functional jnp.
 Parity target: the lavis ``blip_caption`` model the pix2pix-zero runner loads
 (/root/reference/run_editing_pix2pix_zero.py:28-31) to caption each input
 image (the caption becomes both the inversion prompt and the negative
-prompt). The reference decodes with beam search (num_beams=3); we implement
-greedy decoding — caption phrasing can differ slightly, which only perturbs a
-free-text prompt.
+prompt). Decoding matches the reference's beam search (num_beams=3,
+max_length=30, min_length=10 — lavis generate defaults routed through HF
+``text_decoder.generate``); greedy decode remains available via num_beams=1.
 
 Weights: convert a local BLIP checkpoint (HF blip-image-captioning-base or
 lavis base_coco) with convert/blip_to_jax-style mappings; without weights the
@@ -144,19 +144,126 @@ def greedy_caption_ids(params: Params, image_tokens: Array,
     return ids[0]
 
 
+def beam_caption_ids(params: Params, image_tokens: Array,
+                     cfg: BlipTextConfig,
+                     prompt_ids: Optional[List[int]] = None,
+                     num_beams: int = 3,
+                     min_length: int = 10,
+                     length_penalty: float = 1.0) -> Array:
+    """Beam-search decode (static beam count inside a scan), HF
+    ``generate(num_beams=...)`` semantics: per-step top-2K candidate pool,
+    EOS candidates finalize a hypothesis only when ranked < K, scores are
+    sum-logprob divided by sequence-length**length_penalty, and search stops
+    (freezes) once K hypotheses are finished and the best possible live score
+    cannot beat the worst finished one (early_stopping=False rule).
+
+    Matches the lavis blip_caption decode the reference runner uses
+    (/root/reference/run_editing_pix2pix_zero.py:79 -> lavis generate with
+    num_beams=3, max_length=30, min_length=10 via HF ``text_decoder.generate``).
+
+    Returns (max_len,) int32 ids of the best hypothesis (pad-filled tail; no
+    trailing SEP — the caller stops at SEP or PAD anyway).
+    """
+    prompt_ids = prompt_ids or []
+    K = num_beams
+    L = cfg.max_len
+    V = cfg.vocab_size
+    eos = cfg.sep_token_id
+    NEG = jnp.float32(-1e9)
+
+    init_ids = jnp.full((K, L), cfg.pad_token_id, jnp.int32)
+    init_ids = init_ids.at[:, 0].set(cfg.bos_token_id)
+    for i, t in enumerate(prompt_ids):
+        init_ids = init_ids.at[:, i + 1].set(t)
+    start = 1 + len(prompt_ids)
+
+    img = jnp.broadcast_to(image_tokens, (K,) + image_tokens.shape[1:])
+    # only beam 0 is live at step one (all beams start identical)
+    init_scores = jnp.full((K,), NEG).at[0].set(0.0)
+
+    def body(carry, pos):
+        ids, scores, fin_ids, fin_scores, done = carry
+        logits = blip_decoder_logits(params, ids, img, cfg)[:, pos - 1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # MinLengthLogitsProcessor: suppress EOS while cur_len < min_length
+        logp = jnp.where((pos < min_length) & (jnp.arange(V) == eos)[None, :],
+                         NEG, logp)
+        cand = (scores[:, None] + logp).reshape(-1)  # (K*V,)
+        top_val, top_idx = jax.lax.top_k(cand, 2 * K)
+        top_src = top_idx // V
+        top_tok = (top_idx % V).astype(jnp.int32)
+        is_eos = top_tok == eos
+
+        # finished-hypothesis pool: EOS candidates ranked < K enter, replacing
+        # the worst if better. Scores normalize by the GENERATED length
+        # including the EOS (transformers >= 4.26: generated_len =
+        # cur_len + 1 - decoder_prompt_len in BeamSearchScorer.process).
+        hyp_len = (pos + 1 - start).astype(jnp.float32)
+        for r in range(K):
+            hscore = top_val[r] / hyp_len**length_penalty
+            worst = jnp.argmin(fin_scores)
+            take = is_eos[r] & (hscore > fin_scores[worst]) & (~done)
+            fin_scores = fin_scores.at[worst].set(
+                jnp.where(take, hscore, fin_scores[worst]))
+            fin_ids = fin_ids.at[worst].set(
+                jnp.where(take, ids[top_src[r]], fin_ids[worst]))
+
+        # next beams: the first K non-EOS candidates in rank order
+        noneos_rank = jnp.cumsum(~is_eos) - 1
+        keep = (~is_eos) & (noneos_rank < K)
+        slot = jnp.where(keep, noneos_rank, K)  # K = dump slot
+        new_scores = jnp.full((K + 1,), NEG).at[slot].set(
+            jnp.where(keep, top_val, NEG))[:K]
+        new_src = jnp.zeros((K + 1,), jnp.int32).at[slot].set(
+            jnp.where(keep, top_src, 0))[:K]
+        new_tok = jnp.zeros((K + 1,), jnp.int32).at[slot].set(
+            jnp.where(keep, top_tok, 0))[:K]
+        new_ids = ids[new_src].at[:, pos].set(new_tok)
+
+        # is_done (early_stopping=False): all K finished and the worst
+        # finished score beats the best possible live candidate at this length
+        pool_full = jnp.min(fin_scores) > NEG / 2
+        cannot_improve = jnp.min(fin_scores) >= top_val[0] / hyp_len**length_penalty
+        done_new = done | (pool_full & cannot_improve)
+
+        ids = jnp.where(done, ids, new_ids)
+        scores = jnp.where(done, scores, new_scores)
+        return (ids, scores, fin_ids, fin_scores, done_new), ()
+
+    fin_ids0 = jnp.full((K, L), cfg.pad_token_id, jnp.int32)
+    fin_scores0 = jnp.full((K,), NEG)
+    (ids, scores, fin_ids, fin_scores, done), _ = jax.lax.scan(
+        body, (init_ids, init_scores, fin_ids0, fin_scores0, jnp.bool_(False)),
+        jnp.arange(start, L))
+
+    # finalize: unfinished beams enter the pool at full generated length
+    final_scores = scores / jnp.float32(L - start) ** length_penalty
+    for r in range(K):
+        worst = jnp.argmin(fin_scores)
+        take = (~done) & (final_scores[r] > fin_scores[worst])
+        fin_scores = fin_scores.at[worst].set(
+            jnp.where(take, final_scores[r], fin_scores[worst]))
+        fin_ids = fin_ids.at[worst].set(jnp.where(take, ids[r], fin_ids[worst]))
+
+    return fin_ids[jnp.argmax(fin_scores)]
+
+
 class BlipCaptioner:
     """Callable captioner: uint8 image -> str. Prompt "a picture of "."""
 
     def __init__(self, vision_params, decoder_params, tokenizer,
                  vision_cfg: vit.ViTConfig = BLIP_VIT_B16_384,
                  text_cfg: BlipTextConfig = BlipTextConfig(),
-                 prompt: str = "a picture of "):
+                 prompt: str = "a picture of ",
+                 num_beams: int = 3, min_length: int = 10):
         self.vision_params = vision_params
         self.decoder_params = decoder_params
         self.tokenizer = tokenizer
         self.vision_cfg = vision_cfg
         self.text_cfg = text_cfg
         self.prompt = prompt
+        self.num_beams = num_beams
+        self.min_length = min_length
         self._jit = None
 
     @classmethod
@@ -184,7 +291,12 @@ class BlipCaptioner:
                 x = imagenet_normalize(x)
                 tokens, _ = vit.vit_apply(vp, x[None], self.vision_cfg,
                                           return_tokens=True)
-                return greedy_caption_ids(dp, tokens, self.text_cfg, prompt_ids)
+                if self.num_beams <= 1:
+                    return greedy_caption_ids(dp, tokens, self.text_cfg,
+                                              prompt_ids)
+                return beam_caption_ids(dp, tokens, self.text_cfg, prompt_ids,
+                                        num_beams=self.num_beams,
+                                        min_length=self.min_length)
 
             self._jit = jax.jit(fn)
         ids = np.asarray(self._jit(self.vision_params, self.decoder_params,

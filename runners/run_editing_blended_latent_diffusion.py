@@ -2,6 +2,11 @@
 """Blended Latent Diffusion runner
 (reference: /root/reference/run_editing_blended_latent_diffusion.py).
 Uses SD2.1-base and the PIE ground-truth masks."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 from PIL import Image
 

@@ -1,5 +1,10 @@
 #!/usr/bin/env python
 """EDICT benchmark runner (reference: /root/reference/run_editing_edict.py)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from pnpinversion_tpu.cli import run_benchmark, standard_argparser
 from pnpinversion_tpu.configs import SD14
 from pnpinversion_tpu.editors.edict_editor import EDICTEditor

@@ -4,6 +4,11 @@
 Same CLI and output contract; method names are identity-mapped to their
 output folders. Runs on the default JAX backend (TPU when available).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from pnpinversion_tpu.cli import run_benchmark, standard_argparser

@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Single-image P2P edit (reference: /root/reference/run_editing_p2p_one_image.py).
 The minimum end-to-end slice; CPU-runnable."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 from pnpinversion_tpu.configs import SD14, TINY

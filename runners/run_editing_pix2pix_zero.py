@@ -4,6 +4,11 @@
 Requires a captioner (BLIP) — pass --caption_file with a JSON mapping of
 image keys to captions, or converted BLIP weights via --checkpoint_dir.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 
 from pnpinversion_tpu.cli import run_benchmark, standard_argparser

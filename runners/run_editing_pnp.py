@@ -4,6 +4,11 @@
 The reference's PnP stack runs SD1.5 weights; pass --checkpoint_dir with a
 converted SD1.5 checkpoint for weight parity (architecture is identical).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from pnpinversion_tpu.cli import run_benchmark, standard_argparser
 from pnpinversion_tpu.configs import SD14
 from pnpinversion_tpu.editors.pnp_editor import PnPEditor

@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """StyleDiffusion runner (reference: /root/reference/run_editing_stylediffusion.py).
 Note the reference's output folder name typo 'styleidffusion+p2p' is preserved."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from pnpinversion_tpu.cli import run_benchmark, standard_argparser
 from pnpinversion_tpu.configs import SD14
 from pnpinversion_tpu.editors.stylediffusion_editor import StyleDiffusionEditor

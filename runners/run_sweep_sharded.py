@@ -8,6 +8,11 @@ device count, and edited N-per-step across the mesh. Outputs keep the
 reference's 4-panel-strip / skip-existing contract, so the sweep is
 restartable and evaluable by evaluation/evaluate.py unchanged.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax

@@ -55,6 +55,64 @@ def test_captioner_end_to_end():
     assert cap(img) == caption
 
 
+def test_beam_search_matches_transformers_generate():
+    """beam_caption_ids vs HF generate(num_beams=3) on a tiny converted
+    decoder — the reference captions via lavis -> HF beam search
+    (/root/reference/run_editing_pix2pix_zero.py:79)."""
+    import torch
+    from transformers import BlipTextConfig as HFBlipTextConfig
+    from transformers.models.blip.modeling_blip_text import BlipTextLMHeadModel
+
+    from pnpinversion_tpu.convert.metric_models import convert_blip_decoder
+    from pnpinversion_tpu.models.blip import BlipTextConfig, beam_caption_ids
+
+    hf_cfg = HFBlipTextConfig(vocab_size=64, hidden_size=32,
+                              intermediate_size=128, num_hidden_layers=2,
+                              num_attention_heads=2, encoder_hidden_size=32,
+                              is_decoder=True)
+    torch.manual_seed(3)
+    model = BlipTextLMHeadModel(hf_cfg).eval()
+    params = convert_blip_decoder(
+        {k: v.numpy() for k, v in model.state_dict().items()}, layers=2)
+    cfg = BlipTextConfig(vocab_size=64, width=32, layers=2, heads=2,
+                         max_len=12, bos_token_id=1, sep_token_id=2,
+                         pad_token_id=0)
+
+    for seed, prompt_ids in [(0, [5, 6]), (1, [7]), (2, [5, 6])]:
+        img_tokens = np.random.RandomState(seed).randn(1, 5, 32).astype(np.float32)
+        input_ids = torch.tensor([[cfg.bos_token_id] + prompt_ids])
+        with torch.no_grad():
+            ref = model.generate(
+                input_ids=input_ids,
+                encoder_hidden_states=torch.from_numpy(img_tokens),
+                num_beams=3, max_length=cfg.max_len, min_length=5,
+                do_sample=False, length_penalty=1.0, early_stopping=False,
+                eos_token_id=cfg.sep_token_id, pad_token_id=cfg.pad_token_id,
+            )[0].numpy()
+        ours = np.asarray(beam_caption_ids(
+            params, jnp.asarray(img_tokens), cfg, prompt_ids,
+            num_beams=3, min_length=5))
+        # ours stores the hypothesis without the trailing EOS; HF appends it
+        ours_toks = [int(t) for t in ours[1:]
+                     if t not in (cfg.sep_token_id, cfg.pad_token_id)]
+        ref_toks = [int(t) for t in ref[1:]
+                    if t not in (cfg.sep_token_id, cfg.pad_token_id)]
+        assert ours_toks == ref_toks, (seed, ours_toks, ref_toks)
+
+
+def test_captioner_beam_end_to_end():
+    vision_cfg = vit.ViTConfig(image_size=16, patch_size=8, width=32, layers=1,
+                               heads=2, style="dino", activation="gelu")
+    cap = BlipCaptioner.random_init(jax.random.PRNGKey(1), TinyIdTokenizer(),
+                                    vision_cfg=vision_cfg, text_cfg=TINY_BLIP_TEXT,
+                                    prompt="w3")
+    cap.num_beams, cap.min_length = 3, 2
+    img = (np.random.RandomState(1).rand(16, 16, 3) * 255).astype(np.uint8)
+    caption = cap(img)
+    assert isinstance(caption, str)
+    assert cap(img) == caption
+
+
 def test_wordpiece_tokenizer(tmp_path):
     from pnpinversion_tpu.utils.tokenizer import BertWordPieceTokenizer
 
