@@ -18,10 +18,14 @@ IMAGE_SAVE_PATHS = {
 
 def main(argv=None):
     parser = standard_argparser(["edict+p2p"])
+    parser.add_argument("--precision", choices=["f32", "df64"], default="df64",
+                        help="latent-carry precision: df64 emulates the "
+                             "reference's float64 algebra (edict_functions.py"
+                             ":50-52) via double-float; f32 is faster")
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir)
-    editor = EDICTEditor(pipe)
+    editor = EDICTEditor(pipe, precision=args.precision)
 
     def edit_fn(edit_method, item):
         return editor(edit_method, item.image_path, item.source_prompt,

@@ -72,8 +72,8 @@ def test_beam_search_matches_transformers_generate():
                               is_decoder=True)
     torch.manual_seed(3)
     model = BlipTextLMHeadModel(hf_cfg).eval()
-    params = convert_blip_decoder(
-        {k: v.numpy() for k, v in model.state_dict().items()}, layers=2)
+    params = jax.tree.map(jnp.asarray, convert_blip_decoder(
+        {k: v.numpy() for k, v in model.state_dict().items()}, layers=2))
     cfg = BlipTextConfig(vocab_size=64, width=32, layers=2, heads=2,
                          max_len=12, bos_token_id=1, sep_token_id=2,
                          pad_token_id=0)
