@@ -35,7 +35,9 @@ Array = jax.Array
 
 
 def make_dp_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devs = jax.devices()
+    # multi-host: each process runs an independent sweep over its LOCAL
+    # chips (items are process-sharded upstream), so the mesh is local
+    devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("dp",))

@@ -41,7 +41,17 @@ def main(argv=None):
     parser = standard_argparser([METHOD])
     parser.add_argument("--batch_per_device", type=int, default=1)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count")
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="multi-host: host:port of process 0")
     args = parser.parse_args(argv)
+
+    from pnpinversion_tpu.parallel import multihost
+
+    multihost.initialize(args.coordinator_address, args.num_processes,
+                         args.process_id)
 
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir,
@@ -54,9 +64,14 @@ def main(argv=None):
     dataset = PieBenchDataset(args.data_path)
     size = pipe.config.vae.sample_size
 
-    # collect pending items with their controller tensors
+    # collect pending items with their controller tensors; in multi-host
+    # mode each process takes a deterministic disjoint slice (the file-based
+    # skip-existing contract keeps overlap harmless on restarts)
+    items = list(dataset.items(args.edit_category_list))
+    if jax.process_count() > 1:
+        items = multihost.process_shard(items)
     pending = []
-    for item in dataset.items(args.edit_category_list):
+    for item in items:
         rel = os.path.relpath(item.image_path,
                               os.path.join(args.data_path, "annotation_images"))
         save_path = os.path.join(args.output_path, METHOD, "annotation_images", rel)
@@ -109,6 +124,15 @@ def main(argv=None):
                 strip.save(e["save_path"])
                 logger.log("image_done", key=item.key, method=METHOD)
                 print(f"saved {e['save_path']}")
+
+    if jax.process_count() > 1:
+        per_proc = multihost.allreduce_metrics(
+            np.array([float(len(pending))], np.float32), 1)
+        total = float(per_proc[0]) * jax.process_count()
+        logger.log("sweep_done", images_total=int(round(total)),
+                   process_index=jax.process_index())
+        print(f"sweep done: {int(round(total))} images across "
+              f"{jax.process_count()} processes")
 
 
 if __name__ == "__main__":
