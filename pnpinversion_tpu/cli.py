@@ -33,6 +33,10 @@ def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParse
     p = argparse.ArgumentParser()
     p.add_argument("--rerun_exist_images", action="store_true")
     p.add_argument("--data_path", type=str, default="data")
+    p.add_argument("--mapping_file", type=str, default=None,
+                   help="override the mapping file, e.g. "
+                        "data/mapping_file_ti2i_benchmark.json for the "
+                        "55-image TI2I benchmark")
     p.add_argument("--output_path", type=str, default="output")
     p.add_argument("--edit_category_list", nargs="+", type=str,
                    default=[str(i) for i in range(10)])
@@ -59,7 +63,8 @@ def run_benchmark(
     logger = RunLogger(getattr(args, "run_log", None))
     profile_dir = getattr(args, "profile_dir", None)
     profiled = False
-    dataset = PieBenchDataset(args.data_path)
+    dataset = PieBenchDataset(args.data_path,
+                              mapping_file=getattr(args, "mapping_file", None))
     for item in dataset.items(args.edit_category_list):
         for edit_method in args.edit_method_list:
             rel = os.path.relpath(item.image_path,

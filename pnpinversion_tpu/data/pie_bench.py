@@ -119,7 +119,16 @@ class PieBenchItem:
 
 class PieBenchDataset:
     """mapping_file.json reader with the reference's category filter and the
-    idempotent skip-existing sweep contract."""
+    idempotent skip-existing sweep contract.
+
+    Also reads the 55-image TI2I benchmark mapping
+    (data/mapping_file_ti2i_benchmark.json, /root/reference/README.md:148-153)
+    via ``mapping_file=``: TI2I items carry only an image and target
+    prompt(s) — no category, no mask, no source prompt — so those fields
+    default (category "ti2i", empty source prompt, zero mask), the category
+    filter passes them through, and a list-valued ``editing_prompt`` yields
+    one item per target prompt (key suffixed ``_0``, ``_1``, ...).
+    """
 
     def __init__(self, data_path: str, mapping_file: Optional[str] = None):
         self.data_path = data_path
@@ -132,20 +141,28 @@ class PieBenchDataset:
 
     def items(self, edit_category_list: Optional[Sequence[str]] = None) -> Iterator[PieBenchItem]:
         for key, item in self.mapping.items():
-            if edit_category_list is not None and item["editing_type_id"] not in edit_category_list:
+            cat = item.get("editing_type_id")
+            if (cat is not None and edit_category_list is not None
+                    and cat not in edit_category_list):
                 continue
             blended = item.get("blended_word", "")
             blended_words = blended.split(" ") if blended != "" else []
-            yield PieBenchItem(
-                key=key,
-                image_path=os.path.join(self.data_path, "annotation_images", item["image_path"]),
-                original_prompt=item["original_prompt"],
-                editing_prompt=item["editing_prompt"],
-                editing_instruction=item.get("editing_instruction", ""),
-                editing_type_id=item["editing_type_id"],
-                blended_word=blended_words,
-                mask=mask_decode(item["mask"]),
-            )
+            mask = (mask_decode(item["mask"]) if "mask" in item
+                    else np.zeros((512, 512)))
+            prompts = item.get("editing_prompt", "")
+            many = isinstance(prompts, (list, tuple))
+            for pi, prompt in enumerate(prompts if many else [prompts]):
+                yield PieBenchItem(
+                    key=f"{key}_{pi}" if many else key,
+                    image_path=os.path.join(self.data_path, "annotation_images",
+                                            item["image_path"]),
+                    original_prompt=item.get("original_prompt", ""),
+                    editing_prompt=prompt,
+                    editing_instruction=item.get("editing_instruction", ""),
+                    editing_type_id=cat if cat is not None else "ti2i",
+                    blended_word=blended_words,
+                    mask=mask,
+                )
 
     @staticmethod
     def output_path(output_dir: str, method_folder: str, item: "PieBenchItem",

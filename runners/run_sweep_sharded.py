@@ -61,7 +61,8 @@ def main(argv=None):
     n_dev = mesh.devices.size
     sweep = BatchedDirectInversionP2P(pipe, mesh)
     logger = RunLogger(args.run_log)
-    dataset = PieBenchDataset(args.data_path)
+    dataset = PieBenchDataset(args.data_path,
+                              mapping_file=getattr(args, "mapping_file", None))
     size = pipe.config.vae.sample_size
 
     # collect pending items with their controller tensors; in multi-host

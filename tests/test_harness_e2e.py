@@ -49,6 +49,35 @@ def test_dataset_reader(mini_dataset):
     assert list(ds.items(["5"])) == []
 
 
+def test_ti2i_mapping_schema(tmp_path):
+    """TI2I benchmark mapping (README.md:148-153): image + target prompt(s),
+    no category/mask/source prompt. The reader defaults those fields and
+    fans out list-valued prompts."""
+    import json
+
+    data = tmp_path / "data"
+    (data / "annotation_images" / "ti2i_benchmark").mkdir(parents=True)
+    img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(data / "annotation_images" / "ti2i_benchmark" / "0.jpg")
+    mapping = {
+        "0": {"image_path": "ti2i_benchmark/0.jpg",
+              "editing_prompt": "a sculpture of a cat"},
+        "1": {"image_path": "ti2i_benchmark/0.jpg",
+              "editing_prompt": ["a cat", "a dog"]},
+    }
+    mf = data / "mapping_file_ti2i_benchmark.json"
+    mf.write_text(json.dumps(mapping))
+
+    ds = PieBenchDataset(str(data), mapping_file=str(mf))
+    items = list(ds.items(["0", "1"]))  # category filter must pass TI2I items
+    assert [it.key for it in items] == ["0", "1_0", "1_1"]
+    assert items[0].target_prompt == "a sculpture of a cat"
+    assert items[0].source_prompt == ""
+    assert items[0].editing_type_id == "ti2i"
+    assert items[0].mask.shape == (512, 512) and items[0].mask.sum() == 0
+    assert [it.target_prompt for it in items[1:]] == ["a cat", "a dog"]
+
+
 def test_runner_sweep_and_evaluate(mini_dataset, tmp_path, monkeypatch):
     """Run the p2p runner CLI loop on the tiny config, then evaluate the
     outputs with the CSV driver — the reference's full operating loop."""
