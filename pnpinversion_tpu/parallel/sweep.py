@@ -123,3 +123,140 @@ class BatchedDirectInversionP2P:
             return self._fn(spec)(
                 self.pipe.params, images_u8, cond, uncond,
                 jnp.asarray(guidance_scale, self.pipe.dtype), tensors)
+
+
+class BatchedMasaCtrl:
+    """MasaCtrl (ddim+ / directinversion+) over a dp-sharded image batch.
+
+    The per-image pipeline is exactly editors/masactrl_editor.py's phases
+    (invert with the empty prompt, optional DirectInversion offsets, one
+    batch-2 mutual-self-attention sampling pass); vmap adds the image axis.
+    """
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 start_step: int = 4, start_layer: int = 10):
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.start_step = start_step
+        self.start_layer = start_layer
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, use_offsets: bool):
+        key = ("masactrl", use_offsets)
+        if key in self._cache:
+            return self._cache[key]
+        from pnpinversion_tpu.control.masactrl import MasaCtrlControl, MasaCtrlSpec
+        from pnpinversion_tpu.inversion.ddim_inversion import (
+            direct_inversion_offsets,
+        )
+        from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
+        T = sched.num_steps
+        control = MasaCtrlControl(MasaCtrlSpec(start_step=self.start_step,
+                                               start_layer=self.start_layer))
+
+        def one_image(params, image_u8, cond, uncond, g):
+            """cond: (2, 77, D) = ["", target]."""
+            latent = image_to_latent(params["vae"], image_u8, vcfg,
+                                     dtype=pipe.dtype)
+            traj = ddim_invert_loop(params["unet"], sched, latent, cond[:1], ucfg)
+            if use_offsets:
+                ctx = jnp.concatenate([uncond, cond], axis=0)
+                noise_loss, _ = direct_inversion_offsets(
+                    params["unet"], sched, traj, ctx, g, ucfg)
+                row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+            else:
+                noise_loss = jnp.zeros((T, 2) + latent.shape[1:], pipe.dtype)
+                row_mask = jnp.zeros((2,), pipe.dtype)
+            lat = guidance_forward(params["unet"], sched, ucfg, traj[-1], cond,
+                                   uncond, g, control, {}, noise_loss, row_mask)
+            imgs = latent_to_image(params["vae"], lat, vcfg)
+            return imgs[0], imgs[1]
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, repl, repl),
+                     out_shardings=(shard, shard))
+        self._cache[key] = fn
+        return fn
+
+    def edit_batch(self, use_offsets: bool, images_u8: Array, cond: Array,
+                   guidance_scale: float) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond (N,2,77,D) rows ["", target]."""
+        uncond = self.pipe.encode_prompt(["", ""])
+        with self.mesh:
+            return self._fn(use_offsets)(
+                self.pipe.params, images_u8, cond, uncond,
+                jnp.asarray(guidance_scale, self.pipe.dtype))
+
+
+class BatchedPnP:
+    """Plug-and-Play (ddim+ / directinversion+) over a dp-sharded image batch
+    (per-image pipeline = editors/pnp_editor.py phases, vmapped)."""
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 steps_offset: int = 1):
+        from pnpinversion_tpu.schedulers.ddim import make_ddim_schedule
+
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.schedule = make_ddim_schedule(
+            num_steps=pipe.schedule.num_steps, steps_offset=steps_offset)
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, method: str):
+        if method in self._cache:
+            return self._cache[method]
+        from pnpinversion_tpu.control.pnp import PnPControl, make_pnp_control
+        from pnpinversion_tpu.editors.pnp_editor import (
+            NEGATIVE_PROMPT,
+            ddim_sample_trajectory,
+            pnp_sample_loop,
+        )
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = self.schedule, pipe.config.unet, pipe.config.vae
+        control = PnPControl(make_pnp_control(ucfg, sched.num_steps).spec)
+        fixed = pipe.encode_prompt(["", NEGATIVE_PROMPT])  # rows 0-1 of embeds
+
+        def one_image(params, image_u8, cond_src, cond_tar, g):
+            """cond_src/cond_tar: (1, 77, D)."""
+            latent = image_to_latent(params["vae"], image_u8, vcfg,
+                                     dtype=pipe.dtype)
+            traj = ddim_invert_loop(params["unet"], sched, latent, cond_src, ucfg)
+            embeds = jnp.concatenate([fixed, cond_tar], axis=0)
+            if method == "ddim+pnp":
+                src_traj = ddim_sample_trajectory(params["unet"], sched, ucfg,
+                                                  traj[-1], cond_src)
+                recon_lat = src_traj[-1]
+                edited = pnp_sample_loop(params["unet"], sched, ucfg, control,
+                                         src_traj, src_traj[0], embeds, g)
+            else:  # directinversion+pnp
+                src_latents = traj[::-1][:-1]
+                recon_lat = traj[1]
+                edited = pnp_sample_loop(params["unet"], sched, ucfg, control,
+                                         src_latents, traj[-1], embeds, g)
+            recon = latent_to_image(params["vae"], recon_lat, vcfg)[0]
+            edit = latent_to_image(params["vae"], edited, vcfg)[0]
+            return recon, edit
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, shard, repl),
+                     out_shardings=(shard, shard))
+        self._cache[method] = fn
+        return fn
+
+    def edit_batch(self, method: str, images_u8: Array, cond_src: Array,
+                   cond_tar: Array, guidance_scale: float) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond_src/cond_tar (N,1,77,D)."""
+        with self.mesh:
+            return self._fn(method)(
+                self.pipe.params, images_u8, cond_src, cond_tar,
+                jnp.asarray(guidance_scale, self.pipe.dtype))

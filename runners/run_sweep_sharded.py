@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Multi-chip sharded PIE-Bench sweep for directinversion+p2p.
+"""Multi-chip sharded PIE-Bench sweep (directinversion+p2p, MasaCtrl, PnP).
 
 Replaces the reference's manual multi-process category split
-(SURVEY.md §2.14) with a dp-sharded image-batched pipeline: items are
-grouped by controller spec (replace/refine x blend on/off), padded to the
-device count, and edited N-per-step across the mesh. Outputs keep the
-reference's 4-panel-strip / skip-existing contract, so the sweep is
-restartable and evaluable by evaluation/evaluate.py unchanged.
+(SURVEY.md §2.14) with dp-sharded image-batched pipelines: items are grouped
+by compiled program (controller spec / method variant), padded to the device
+count, and edited N-per-step across the mesh. Outputs keep the reference's
+4-panel-strip / skip-existing contract, so the sweep is restartable and
+evaluable by evaluation/evaluate.py unchanged.
+
+Multi-host: --num_processes/--process_id/--coordinator_address join a
+jax.distributed cluster; items are process-sharded and each process sweeps
+its local chips.
 """
 import os as _os
 import sys as _sys
@@ -18,7 +22,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
 from pnpinversion_tpu.cli import standard_argparser
 from pnpinversion_tpu.configs import SD14
@@ -26,6 +29,8 @@ from pnpinversion_tpu.control.p2p import make_p2p_control
 from pnpinversion_tpu.data.pie_bench import PieBenchDataset, load_image
 from pnpinversion_tpu.parallel.sweep import (
     BatchedDirectInversionP2P,
+    BatchedMasaCtrl,
+    BatchedPnP,
     group_items_by_spec,
     make_dp_mesh,
     pad_batch,
@@ -34,11 +39,94 @@ from pnpinversion_tpu.pipeline import SDPipeline
 from pnpinversion_tpu.utils.image import make_strip, txt_draw
 from pnpinversion_tpu.utils.observability import RunLogger
 
-METHOD = "directinversion+p2p"
+METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
+           "directinversion+pnp", "ddim+pnp"]
+
+
+def _save_strips(chunk, images, recon, edit, size, logger, method):
+    recon, edit = np.asarray(recon), np.asarray(edit)
+    for i, e in enumerate(chunk):
+        item = e["item"]
+        instruct = txt_draw(
+            f"source prompt: {item.source_prompt}\n"
+            f"target prompt: {item.target_prompt}", target_size=(size, size))
+        strip = make_strip([instruct, images[i], recon[i], edit[i]])
+        os.makedirs(os.path.dirname(e["save_path"]), exist_ok=True)
+        strip.save(e["save_path"])
+        logger.log("image_done", key=item.key, method=method)
+        print(f"saved {e['save_path']}")
+
+
+def _sweep_p2p(pipe, mesh, pending, batch, size, logger):
+    sweep = BatchedDirectInversionP2P(pipe, mesh)
+    for e in pending:
+        blended = e["item"].blended_word
+        ctrl, tensors = make_p2p_control(
+            [e["item"].source_prompt, e["item"].target_prompt], pipe.tokenizer,
+            num_steps=pipe.schedule.num_steps,
+            cross_replace_steps=0.4, self_replace_steps=0.6,
+            is_replace_controller=False,
+            blend_words=(((blended[0],), (blended[1],)) if blended else None),
+            eq_params=({"words": (blended[1],), "values": (2,)} if blended else None),
+            num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
+            latent_size=pipe.latent_size)
+        e["spec"], e["tensors"] = ctrl.spec, tensors
+    uncond = pipe.encode_prompt(["", ""])
+    for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
+        for lo in range(0, len(group), batch):
+            chunk = group[lo : lo + batch]
+            images = [load_image(e["item"].image_path, size) for e in chunk]
+            imgs, n_real = pad_batch(images, batch)
+            conds = [np.asarray(pipe.encode_prompt(
+                [e["item"].source_prompt, e["item"].target_prompt]))
+                for e in chunk]
+            cond, _ = pad_batch(conds, batch)
+            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
+                batch - n_real)
+            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            recon, edit = sweep.edit_batch(
+                spec, jnp.asarray(imgs), jnp.asarray(cond), uncond, 7.5, tensors_b)
+            _save_strips(chunk, images, recon, edit, size, logger,
+                         "directinversion+p2p")
+
+
+def _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method):
+    sweep = BatchedMasaCtrl(pipe, mesh)
+    use_offsets = method == "directinversion+masactrl"
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        images = [load_image(e["item"].image_path, size) for e in chunk]
+        imgs, _ = pad_batch(images, batch)
+        conds = [np.asarray(pipe.encode_prompt(["", e["item"].target_prompt]))
+                 for e in chunk]
+        cond, _ = pad_batch(conds, batch)
+        recon, edit = sweep.edit_batch(use_offsets, jnp.asarray(imgs),
+                                       jnp.asarray(cond), 7.5)
+        _save_strips(chunk, images, recon, edit, size, logger, method)
+
+
+def _sweep_pnp(pipe, mesh, pending, batch, size, logger, method):
+    sweep = BatchedPnP(pipe, mesh)
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        images = [load_image(e["item"].image_path, size) for e in chunk]
+        imgs, _ = pad_batch(images, batch)
+        srcs = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
+                for e in chunk]
+        tars = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
+                for e in chunk]
+        cond_src, _ = pad_batch(srcs, batch)
+        cond_tar, _ = pad_batch(tars, batch)
+        recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
+                                       jnp.asarray(cond_src),
+                                       jnp.asarray(cond_tar), 7.5)
+        _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
 def main(argv=None):
-    parser = standard_argparser([METHOD])
+    parser = standard_argparser(["directinversion+p2p"])
+    parser.add_argument("--method", choices=METHODS,
+                        default="directinversion+p2p")
     parser.add_argument("--batch_per_device", type=int, default=1)
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--num_processes", type=int, default=None,
@@ -47,6 +135,7 @@ def main(argv=None):
     parser.add_argument("--coordinator_address", type=str, default=None,
                         help="multi-host: host:port of process 0")
     args = parser.parse_args(argv)
+    method = args.method
 
     from pnpinversion_tpu.parallel import multihost
 
@@ -59,15 +148,14 @@ def main(argv=None):
                              else jnp.float32)
     mesh = make_dp_mesh(args.n_devices)
     n_dev = mesh.devices.size
-    sweep = BatchedDirectInversionP2P(pipe, mesh)
     logger = RunLogger(args.run_log)
     dataset = PieBenchDataset(args.data_path,
                               mapping_file=getattr(args, "mapping_file", None))
     size = pipe.config.vae.sample_size
 
-    # collect pending items with their controller tensors; in multi-host
-    # mode each process takes a deterministic disjoint slice (the file-based
-    # skip-existing contract keeps overlap harmless on restarts)
+    # collect pending items; in multi-host mode each process takes a
+    # deterministic disjoint slice (the file-based skip-existing contract
+    # keeps overlap harmless on restarts)
     items = list(dataset.items(args.edit_category_list))
     if jax.process_count() > 1:
         items = multihost.process_shard(items)
@@ -75,56 +163,23 @@ def main(argv=None):
     for item in items:
         rel = os.path.relpath(item.image_path,
                               os.path.join(args.data_path, "annotation_images"))
-        save_path = os.path.join(args.output_path, METHOD, "annotation_images", rel)
+        save_path = os.path.join(args.output_path, method, "annotation_images", rel)
         if os.path.exists(save_path) and not args.rerun_exist_images:
-            logger.log("image_skip", key=item.key, method=METHOD)
+            logger.log("image_skip", key=item.key, method=method)
             continue
-        blended = item.blended_word
-        ctrl, tensors = make_p2p_control(
-            [item.source_prompt, item.target_prompt], pipe.tokenizer,
-            num_steps=pipe.schedule.num_steps,
-            cross_replace_steps=0.4, self_replace_steps=0.6,
-            is_replace_controller=False,
-            blend_words=(((blended[0],), (blended[1],)) if blended else None),
-            eq_params=({"words": (blended[1],), "values": (2,)} if blended else None),
-            num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
-            latent_size=pipe.latent_size)
-        pending.append({"item": item, "save_path": save_path,
-                        "spec": ctrl.spec, "tensors": tensors})
+        pending.append({"item": item, "save_path": save_path})
 
     if not pending:
         print("nothing to do")
         return
 
     batch = n_dev * args.batch_per_device
-    for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
-        for lo in range(0, len(group), batch):
-            chunk = group[lo : lo + batch]
-            images = [load_image(e["item"].image_path, size) for e in chunk]
-            imgs, n_real = pad_batch(images, batch)
-            conds = [pipe.encode_prompt([e["item"].source_prompt,
-                                         e["item"].target_prompt]) for e in chunk]
-            cond, _ = pad_batch([np.asarray(c) for c in conds], batch)
-            uncond = pipe.encode_prompt(["", ""])
-            tb_list = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
-                batch - n_real)
-            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb_list)
-
-            recon, edit = sweep.edit_batch(
-                spec, jnp.asarray(imgs), jnp.asarray(cond), uncond, 7.5, tensors_b)
-            recon = np.asarray(recon)
-            edit = np.asarray(edit)
-
-            for i, e in enumerate(chunk):
-                item = e["item"]
-                instruct = txt_draw(
-                    f"source prompt: {item.source_prompt}\n"
-                    f"target prompt: {item.target_prompt}", target_size=(size, size))
-                strip = make_strip([instruct, images[i], recon[i], edit[i]])
-                os.makedirs(os.path.dirname(e["save_path"]), exist_ok=True)
-                strip.save(e["save_path"])
-                logger.log("image_done", key=item.key, method=METHOD)
-                print(f"saved {e['save_path']}")
+    if method == "directinversion+p2p":
+        _sweep_p2p(pipe, mesh, pending, batch, size, logger)
+    elif method.endswith("masactrl"):
+        _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
+    else:
+        _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 
     if jax.process_count() > 1:
         per_proc = multihost.allreduce_metrics(

@@ -64,3 +64,55 @@ def test_sharded_sweep_runner(mini_dataset, tmp_path, monkeypatch):
         "--num_ddim_steps", "4", "--n_devices", "2",
     ])
     assert all(p.stat().st_mtime == mtimes[p] for p in produced)
+
+
+def test_batched_masactrl_matches_editor():
+    """Batched path == per-image editor panels (same math, vmap added)."""
+    from pnpinversion_tpu.editors.masactrl_editor import MasaCtrlEditor
+    from pnpinversion_tpu.parallel.sweep import BatchedMasaCtrl, make_dp_mesh
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(21), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(3)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    prompts = ["a dog", "a red dog"]
+
+    editor = MasaCtrlEditor(pipe)
+    ref_panels = []
+    for i in range(2):
+        strip = np.asarray(editor("directinversion+masactrl", imgs[i], "",
+                                  prompts[i]))
+        ref_panels.append(strip[:, 2 * size :])  # [recon | edit]
+
+    sweep = BatchedMasaCtrl(pipe, make_dp_mesh(2))
+    cond = np.stack([np.asarray(pipe.encode_prompt(["", p])) for p in prompts])
+    recon, edit = sweep.edit_batch(True, np.asarray(imgs), cond, 7.5)
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, diff.max()  # uint8 rounding headroom
+
+
+@pytest.mark.parametrize("method", ["directinversion+masactrl", "ddim+masactrl",
+                                    "directinversion+pnp", "ddim+pnp"])
+def test_sharded_sweep_more_families(method, mini_dataset, tmp_path, monkeypatch):
+    """VERDICT r1 next #8: MasaCtrl and PnP families through the same
+    vmap+shard sweep path, on the virtual mesh."""
+    import runners.run_sweep_sharded as runner
+
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        runner.SDPipeline, "create",
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+    out = tmp_path / "out"
+    runner.main([
+        "--data_path", mini_dataset, "--output_path", str(out),
+        "--num_ddim_steps", "4", "--n_devices", "2", "--method", method,
+    ])
+    produced = sorted((out / method / "annotation_images").rglob("*.jpg"))
+    assert len(produced) == 3
+    for p in produced:
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (16, 64, 3)
+        assert np.isfinite(arr).all()
