@@ -74,10 +74,13 @@ def center_crop_resize_224(img: Array, size: int = 224, method: str = "bicubic")
     """CLIP preprocessing: resize shortest side to 224 then center crop.
     img: (H, W, C) float."""
     h, w, c = img.shape
+    # long-side size truncates (int(), not round()) to match transformers'
+    # get_resize_output_image_size, which torchmetrics CLIPScore preprocessing
+    # uses — a round() here shifts the center crop by one pixel
     if h <= w:
-        nh, nw = size, max(size, int(round(w * size / h)))
+        nh, nw = size, max(size, int(w * size / h))
     else:
-        nh, nw = max(size, int(round(h * size / w))), size
+        nh, nw = max(size, int(h * size / w)), size
     img = jax.image.resize(img, (nh, nw, c), method=method)
     top = (nh - size) // 2
     left = (nw - size) // 2

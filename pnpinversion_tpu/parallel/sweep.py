@@ -194,6 +194,83 @@ class BatchedMasaCtrl:
                 jnp.asarray(guidance_scale, self.pipe.dtype))
 
 
+class BatchedEditFriendly:
+    """edit-friendly-inversion+p2p over a dp-sharded image batch.
+
+    Per-image pipeline = editors/ef_editor.py's phases (noise-map extraction
+    with the source prompt at eta=1, then the controlled batch-2 reverse pass
+    from xts[T-skip] with the stored zs); vmap adds the image axis. Items
+    whose controller spec differs (Replace when word counts match, else
+    Refine — run_editing_edit_friendly_p2p.py:92-96) compile separately;
+    group with group_items_by_spec first.
+    """
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 eta: float = 1.0, skip: int = 12, steps_offset: int = 1,
+                 seed: int = 1234):
+        from pnpinversion_tpu.schedulers.ddim import make_ddim_schedule
+
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.schedule = make_ddim_schedule(
+            num_steps=pipe.schedule.num_steps, steps_offset=steps_offset)
+        self.eta = eta
+        self.skip = min(skip, self.schedule.num_steps - 1)
+        self.seed = seed
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, spec):
+        if spec in self._cache:
+            return self._cache[spec]
+        from pnpinversion_tpu.control.p2p import P2PControl
+        from pnpinversion_tpu.inversion.ef_ddpm import (
+            ef_forward_process,
+            ef_reverse_process,
+        )
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = self.schedule, pipe.config.unet, pipe.config.vae
+        T, Z, eta = sched.num_steps, sched.num_steps - self.skip, self.eta
+        control = P2PControl(spec)
+
+        def one_image(params, image_u8, cond, uncond, scales, tensors, rng):
+            """cond (2,77,D) = [source, target]; scales (2,) per-row cfg."""
+            x0 = image_to_latent(params["vae"], image_u8, vcfg, dtype=pipe.dtype)
+            zs, xts = ef_forward_process(
+                params["unet"], sched, x0, cond[:1], uncond[:1], scales[0],
+                ucfg, rng, eta=eta)
+            w = ef_reverse_process(
+                params["unet"], sched, xts[T - self.skip], zs[:Z], cond,
+                uncond, scales, ucfg, eta=eta, control=control,
+                tensors=tensors, num_zs=Z)
+            imgs = latent_to_image(params["vae"], w, vcfg)
+            return imgs[0], imgs[1]
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None, 0, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, repl, repl, shard, repl),
+                     out_shardings=(shard, shard))
+        self._cache[spec] = fn
+        return fn
+
+    def edit_batch(self, spec, images_u8: Array, cond: Array,
+                   source_guidance_scale: float = 1.0,
+                   target_guidance_scale: float = 7.5, tensors=None
+                   ) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond (N,2,77,D); tensors pytree with leading N.
+        Returns (source_row_imgs, edit_imgs) uint8 — the reference's strip
+        uses the edit pass's source row as the reconstruction panel."""
+        uncond = self.pipe.encode_prompt(["", ""])
+        scales = jnp.asarray([source_guidance_scale, target_guidance_scale],
+                             self.pipe.dtype)
+        with self.mesh:
+            return self._fn(spec)(
+                self.pipe.params, images_u8, cond, uncond, scales, tensors,
+                jax.random.PRNGKey(self.seed))
+
+
 class BatchedPnP:
     """Plug-and-Play (ddim+ / directinversion+) over a dp-sharded image batch
     (per-image pipeline = editors/pnp_editor.py phases, vmapped)."""

@@ -29,6 +29,7 @@ from pnpinversion_tpu.control.p2p import make_p2p_control
 from pnpinversion_tpu.data.pie_bench import PieBenchDataset, load_image
 from pnpinversion_tpu.parallel.sweep import (
     BatchedDirectInversionP2P,
+    BatchedEditFriendly,
     BatchedMasaCtrl,
     BatchedPnP,
     group_items_by_spec,
@@ -40,7 +41,7 @@ from pnpinversion_tpu.utils.image import make_strip, txt_draw
 from pnpinversion_tpu.utils.observability import RunLogger
 
 METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
-           "directinversion+pnp", "ddim+pnp"]
+           "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p"]
 
 
 def _save_strips(chunk, images, recon, edit, size, logger, method):
@@ -123,6 +124,36 @@ def _sweep_pnp(pipe, mesh, pending, batch, size, logger, method):
         _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
+def _sweep_ef(pipe, mesh, pending, batch, size, logger):
+    method = "edit-friendly-inversion+p2p"
+    sweep = BatchedEditFriendly(pipe, mesh)
+    T = sweep.schedule.num_steps
+    for e in pending:
+        src, tar = e["item"].source_prompt, e["item"].target_prompt
+        ctrl, tensors = make_p2p_control(
+            [src, tar], pipe.tokenizer, num_steps=T,
+            cross_replace_steps=0.4, self_replace_steps=0.6,
+            is_replace_controller=len(src.split(" ")) == len(tar.split(" ")),
+            num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
+            latent_size=pipe.latent_size, self_edit_max_seq=16 * 16)
+        e["spec"], e["tensors"] = ctrl.spec, tensors
+    for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
+        for lo in range(0, len(group), batch):
+            chunk = group[lo : lo + batch]
+            images = [load_image(e["item"].image_path, size) for e in chunk]
+            imgs, n_real = pad_batch(images, batch)
+            conds = [np.asarray(pipe.encode_prompt(
+                [e["item"].source_prompt, e["item"].target_prompt]))
+                for e in chunk]
+            cond, _ = pad_batch(conds, batch)
+            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
+                batch - n_real)
+            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            recon, edit = sweep.edit_batch(
+                spec, jnp.asarray(imgs), jnp.asarray(cond), 1.0, 7.5, tensors_b)
+            _save_strips(chunk, images, recon, edit, size, logger, method)
+
+
 def main(argv=None):
     parser = standard_argparser(["directinversion+p2p"])
     parser.add_argument("--method", choices=METHODS,
@@ -178,6 +209,8 @@ def main(argv=None):
         _sweep_p2p(pipe, mesh, pending, batch, size, logger)
     elif method.endswith("masactrl"):
         _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
+    elif method == "edit-friendly-inversion+p2p":
+        _sweep_ef(pipe, mesh, pending, batch, size, logger)
     else:
         _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Probe: effective s/image of BatchedDirectInversionP2P at several
+per-chip batch sizes on the current backend. Prints one JSON line per
+batch size. Used to pick the batch the headline bench reports
+(VERDICT r1 next-step 3a).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pnpinversion_tpu.configs import SD14
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.parallel.sweep import BatchedDirectInversionP2P, make_dp_mesh
+    from pnpinversion_tpu.pipeline import SDPipeline
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
+    pipe = SDPipeline.create(SD14, rng=jax.random.PRNGKey(0),
+                             num_ddim_steps=args.steps, dtype=dtype)
+    mesh = make_dp_mesh(1)
+    sweep = BatchedDirectInversionP2P(pipe, mesh)
+
+    src = "a round cake with orange frosting on a wooden plate"
+    tar = "a square cake with orange frosting on a wooden plate"
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=pipe.schedule.num_steps,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False,
+        blend_words=((("cake",), ("cake",))),
+        eq_params={"words": ("square",), "values": (2,)},
+        num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
+        latent_size=pipe.latent_size)
+    uncond = pipe.encode_prompt(["", ""])
+    cond1 = np.asarray(pipe.encode_prompt([src, tar]))
+
+    rng = np.random.RandomState(1234)
+    for n in args.batches:
+        imgs = (rng.rand(n, 512, 512, 3) * 255).astype(np.uint8)
+        cond = jnp.asarray(np.stack([cond1] * n))
+        tb = jax.tree.map(lambda x: jnp.stack([x] * n), tensors)
+        # warmup/compile
+        r, e = sweep.edit_batch(ctrl.spec, jnp.asarray(imgs), cond, uncond, 7.5, tb)
+        jax.block_until_ready((r, e))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r, e = sweep.edit_batch(ctrl.spec, jnp.asarray(imgs), cond, uncond,
+                                    7.5, tb)
+            jax.block_until_ready((r, e))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"batch": n, "s_per_batch": round(dt, 4),
+                          "s_per_image": round(dt / n, 4),
+                          "backend": backend}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
