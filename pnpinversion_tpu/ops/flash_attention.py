@@ -29,23 +29,29 @@ DEFAULT_BLOCK_K = 1024
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
                   seq_k: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    # keep q/k/v in their storage dtype (bf16 on TPU): the MXU runs
+    # bf16xbf16->f32 at full rate, while f32 inputs fall to the slow path.
+    # Softmax statistics stay f32; probs are cast back to the value dtype
+    # for the PV matmul — identical semantics to the einsum path
+    # (ops/attention.py apply_probs) and the reference's torch softmax.
+    q = q_ref[0]  # (block_q, d)
     block_q, d = q.shape
     num_kv = seq_k // block_k
 
     def body(j, carry):
         o_acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         o_new = alpha * o_acc + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return o_new, m_new, l_new
 
     o0 = jnp.zeros((block_q, d), jnp.float32)

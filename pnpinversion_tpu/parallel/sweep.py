@@ -194,6 +194,156 @@ class BatchedMasaCtrl:
                 jnp.asarray(guidance_scale, self.pipe.dtype))
 
 
+class BatchedBLD:
+    """Blended Latent Diffusion over a dp-sharded image batch (per-image
+    pipeline = editors/bld_editor.py's phases, vmapped). The reference runs
+    SD2.1-base (run_editing_blended_latent_diffusion.py:43); pass a pipe
+    built from configs.SD21 for parity."""
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 blending_percentage: float = 0.25, seed: int = 42):
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.blending_percentage = blending_percentage
+        self.seed = seed
+        self._fn_cache = None
+
+    def _fn(self):
+        if self._fn_cache is not None:
+            return self._fn_cache
+        from pnpinversion_tpu.editors.bld_editor import bld_sample
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
+        uncond = pipe.encode_prompt([""])
+
+        def one_image(params, image_u8, latent_mask, cond, g, rng):
+            """cond (1,77,D) target prompt; latent_mask (h,w,1)."""
+            src = image_to_latent(params["vae"], image_u8, vcfg, dtype=pipe.dtype)
+            ctx = jnp.concatenate([uncond, cond], axis=0)
+            lat = bld_sample(params["unet"], sched, ucfg, src, latent_mask,
+                             ctx, g, rng, self.blending_percentage)
+            return latent_to_image(params["vae"], lat, vcfg)[0]
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        self._fn_cache = jax.jit(
+            batched, in_shardings=(repl, shard, shard, shard, repl, repl),
+            out_shardings=shard)
+        return self._fn_cache
+
+    def edit_batch(self, images_u8: Array, latent_masks: Array, cond: Array,
+                   guidance_scale: float = 7.5) -> Array:
+        """images_u8 (N,H,W,3); latent_masks (N,h,w,1); cond (N,1,77,D).
+        Returns edit images (N,H,W,3) uint8 (BLD's recon panel is zeros)."""
+        with self.mesh:
+            return self._fn()(
+                self.pipe.params, images_u8,
+                jnp.asarray(latent_masks, self.pipe.dtype), cond,
+                jnp.asarray(guidance_scale, self.pipe.dtype),
+                jax.random.PRNGKey(self.seed))
+
+
+class BatchedEDICT:
+    """EDICT (direct_forward / +p2p) over a dp-sharded image batch
+    (per-image pipeline = editors/edict_editor.py's phases, vmapped;
+    UNet runs f32 — coupled-scan exactness is precision-critical)."""
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 precision: str = "f32", steps_offset: int = 0,
+                 mix_weight: float = 0.93, init_image_strength: float = 0.8):
+        from pnpinversion_tpu.schedulers.ddim import make_ddim_schedule
+
+        assert precision in ("f32", "df64"), precision
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.precision = precision
+        self.schedule = make_ddim_schedule(
+            num_steps=pipe.schedule.num_steps, steps_offset=steps_offset)
+        self.mix_weight = mix_weight
+        self.init_image_strength = init_image_strength
+        self._params_f32 = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            pipe.params)
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, use_p2p: bool):
+        if use_p2p in self._cache:
+            return self._cache[use_p2p]
+        from pnpinversion_tpu.editors.edict_editor import coupled_scan
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = self.schedule, pipe.config.unet, pipe.config.vae
+        T = sched.num_steps
+        mw, prec = self.mix_weight, self.precision
+        t_limit = T - int(T * self.init_image_strength)
+        df = prec == "df64"
+
+        from pnpinversion_tpu.control.base import NO_CONTROL
+
+        def roundtrip(unet_p, pair0, ctx_in, ctx_out, g, lim,
+                      control=NO_CONTROL, tensors=None, edit_ctx=None):
+            inv = coupled_scan(unet_p, sched, ucfg, pair0, ctx_in, g, T, lim,
+                               True, mw, precision=prec, return_lo=df)
+            inv_hi, inv_lo = inv if df else (inv, None)
+            out = coupled_scan(unet_p, sched, ucfg, inv_hi, ctx_out, g, T, lim,
+                               False, mw, control=control, tensors=tensors,
+                               edit_context=edit_ctx, precision=prec,
+                               pair_lo=inv_lo, return_lo=df)
+            return (out[0] + out[1]) if df else out
+
+        def one_image(params, image_u8, cond_src, cond_tar, uncond, g3, g7,
+                      tensors):
+            latent = image_to_latent(params["vae"], image_u8, vcfg,
+                                     dtype=jnp.float32)
+            pair0 = jnp.stack([latent, latent], axis=0)
+            ctx_src = jnp.concatenate([uncond, cond_src], axis=0)
+            ctx_tar = jnp.concatenate([uncond, cond_tar], axis=0)
+            rec = roundtrip(params["unet"], pair0, ctx_src, ctx_src, g7, 0)
+            if use_p2p:
+                from pnpinversion_tpu.control.edict_p2p import EdictP2PControl
+
+                out = roundtrip(params["unet"], pair0, ctx_src, ctx_src, g3,
+                                t_limit, control=EdictP2PControl(num_steps=T),
+                                tensors=tensors, edit_ctx=cond_tar)
+            else:
+                out = roundtrip(params["unet"], pair0, ctx_src, ctx_tar, g3,
+                                t_limit)
+            recon = latent_to_image(params["vae"], rec[0], vcfg)[0]
+            edit = latent_to_image(params["vae"], out[0], vcfg)[0]
+            return recon, edit
+
+        batched = jax.vmap(one_image,
+                           in_axes=(None, 0, 0, 0, None, None, None, 0))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, shard, repl, repl,
+                                   repl, shard),
+                     out_shardings=(shard, shard))
+        self._cache[use_p2p] = fn
+        return fn
+
+    def edit_batch(self, method: str, images_u8: Array, cond_src: Array,
+                   cond_tar: Array, tensors=None, guidance_scale: float = 3.0,
+                   recon_guidance_scale: float = 7.0) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond_src/cond_tar (N,1,77,D); tensors: p2p
+        tensors pytree with leading N (edict+p2p only)."""
+        use_p2p = method == "edict+p2p"
+        uncond = self.pipe.encode_prompt([""]).astype(jnp.float32)
+        if tensors is None:
+            n = images_u8.shape[0]
+            tensors = jnp.zeros((n, 0), jnp.float32)
+        with self.mesh:
+            return self._fn(use_p2p)(
+                self._params_f32, images_u8, cond_src.astype(jnp.float32),
+                cond_tar.astype(jnp.float32), uncond,
+                jnp.asarray(guidance_scale, jnp.float32),
+                jnp.asarray(recon_guidance_scale, jnp.float32), tensors)
+
+
 class BatchedEditFriendly:
     """edit-friendly-inversion+p2p over a dp-sharded image batch.
 

@@ -28,7 +28,9 @@ from pnpinversion_tpu.configs import SD14
 from pnpinversion_tpu.control.p2p import make_p2p_control
 from pnpinversion_tpu.data.pie_bench import PieBenchDataset, load_image
 from pnpinversion_tpu.parallel.sweep import (
+    BatchedBLD,
     BatchedDirectInversionP2P,
+    BatchedEDICT,
     BatchedEditFriendly,
     BatchedMasaCtrl,
     BatchedPnP,
@@ -41,7 +43,8 @@ from pnpinversion_tpu.utils.image import make_strip, txt_draw
 from pnpinversion_tpu.utils.observability import RunLogger
 
 METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
-           "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p"]
+           "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p",
+           "blended-latent-diffusion", "edict+direct_forward", "edict+p2p"]
 
 
 def _save_strips(chunk, images, recon, edit, size, logger, method):
@@ -154,6 +157,66 @@ def _sweep_ef(pipe, mesh, pending, batch, size, logger):
             _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
+def _sweep_bld(pipe, mesh, pending, batch, size, logger):
+    method = "blended-latent-diffusion"
+    sweep = BatchedBLD(pipe, mesh)
+    lat = pipe.latent_size
+    from PIL import Image as PILImage
+
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        # BLD resizes without the load_512 crop
+        # (run_editing_blended_latent_diffusion.py:58-60)
+        images = [np.array(PILImage.open(e["item"].image_path).resize(
+            (size, size), PILImage.BILINEAR))[:, :, :3] for e in chunk]
+        imgs, _ = pad_batch(images, batch)
+        masks = []
+        for e in chunk:
+            m = np.asarray(e["item"].mask, np.float32)
+            if m.ndim == 3:
+                m = m[:, :, 0]
+            m = PILImage.fromarray(m.astype(np.uint8)).resize(
+                (lat, lat), PILImage.NEAREST)
+            masks.append((np.array(m) >= 0.5).astype(np.float32)[..., None])
+        masks_b, _ = pad_batch(masks, batch)
+        conds = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
+                 for e in chunk]
+        cond, _ = pad_batch(conds, batch)
+        edit = sweep.edit_batch(jnp.asarray(imgs), masks_b, jnp.asarray(cond))
+        zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
+        _save_strips(chunk, images, zeros, edit, size, logger, method)
+
+
+def _sweep_edict(pipe, mesh, pending, batch, size, logger, method):
+    from pnpinversion_tpu.control.edict_p2p import make_edict_p2p_tensors
+
+    sweep = BatchedEDICT(pipe, mesh, precision="df64")
+    use_p2p = method == "edict+p2p"
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        images = [load_image(e["item"].image_path, size) for e in chunk]
+        imgs, n_real = pad_batch(images, batch)
+        srcs = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
+                for e in chunk]
+        tars = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
+                for e in chunk]
+        cond_src, _ = pad_batch(srcs, batch)
+        cond_tar, _ = pad_batch(tars, batch)
+        tensors_b = None
+        if use_p2p:
+            tl = [make_edict_p2p_tensors(e["item"].source_prompt,
+                                         e["item"].target_prompt,
+                                         pipe.tokenizer,
+                                         pipe.config.text.max_length)
+                  for e in chunk]
+            tl += [tl[-1]] * (batch - n_real)
+            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tl)
+        recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
+                                       jnp.asarray(cond_src),
+                                       jnp.asarray(cond_tar), tensors_b)
+        _save_strips(chunk, images, recon, edit, size, logger, method)
+
+
 def main(argv=None):
     parser = standard_argparser(["directinversion+p2p"])
     parser.add_argument("--method", choices=METHODS,
@@ -173,7 +236,12 @@ def main(argv=None):
     multihost.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
 
-    pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
+    # BLD runs SD2.1-base in the reference
+    # (run_editing_blended_latent_diffusion.py:43); everything else SD1.4
+    from pnpinversion_tpu.configs import SD21
+
+    sd_config = SD21 if method == "blended-latent-diffusion" else SD14
+    pipe = SDPipeline.create(sd_config, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir,
                              dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
                              else jnp.float32)
@@ -211,6 +279,10 @@ def main(argv=None):
         _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
     elif method == "edit-friendly-inversion+p2p":
         _sweep_ef(pipe, mesh, pending, batch, size, logger)
+    elif method == "blended-latent-diffusion":
+        _sweep_bld(pipe, mesh, pending, batch, size, logger)
+    elif method.startswith("edict"):
+        _sweep_edict(pipe, mesh, pending, batch, size, logger, method)
     else:
         _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 

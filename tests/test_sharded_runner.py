@@ -133,7 +133,9 @@ def test_batched_ef_matches_editor():
 
 @pytest.mark.parametrize("method", ["directinversion+masactrl", "ddim+masactrl",
                                     "directinversion+pnp", "ddim+pnp",
-                                    "edit-friendly-inversion+p2p"])
+                                    "edit-friendly-inversion+p2p",
+                                    "blended-latent-diffusion",
+                                    "edict+direct_forward", "edict+p2p"])
 def test_sharded_sweep_more_families(method, mini_dataset, tmp_path, monkeypatch):
     """VERDICT r1 next #8: MasaCtrl and PnP families through the same
     vmap+shard sweep path, on the virtual mesh."""
