@@ -28,7 +28,10 @@ from pnpinversion_tpu.inversion.ddim_inversion import (
 )
 from pnpinversion_tpu.models.vae import image_to_latent, latent_to_image
 from pnpinversion_tpu.pipeline import SDPipeline
-from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
+from pnpinversion_tpu.sampling.p2p_forward import (
+    fused_direct_inversion_edit,
+    guidance_forward,
+)
 from pnpinversion_tpu.utils.image import make_strip, txt_draw
 
 
@@ -67,6 +70,29 @@ class MasaCtrlEditor:
             return jax.jit(fn)
 
         return self._jit(("masactrl", spec), build)
+
+    def _sample_fused(self, spec: MasaCtrlSpec):
+        """DirectInversion variant without the separate offset replay: the
+        mutual-self-attention control never modifies the source row (target
+        queries borrow source K,V; the source branch attends normally), so
+        the sampling pass's own source row IS the offset replay — same
+        algebra as sampling/p2p_forward.fused_direct_inversion_edit."""
+        sched, ucfg = self.pipe.schedule, self.pipe.config.unet
+        T = sched.num_steps
+
+        def build():
+            control = MasaCtrlControl(spec)
+
+            def fn(p, traj, cond, uncond, g):
+                row_mask = jnp.array([1.0, 0.0], cond.dtype)
+                gate = jnp.ones((T,), cond.dtype)
+                return fused_direct_inversion_edit(
+                    p, sched, ucfg, traj, cond, uncond, g, control, {},
+                    row_mask, gate)
+
+            return jax.jit(fn)
+
+        return self._jit(("masactrl_fused", spec), build)
 
     def _phases(self):
         sched, ucfg, vcfg = self.pipe.schedule, self.pipe.config.unet, self.pipe.config.vae
@@ -125,13 +151,9 @@ class MasaCtrlEditor:
         uncond = pipe.encode_prompt(["", ""])
         # DirectInversion with prompts ["", tar]: ddim_loop keys on cond[0]=""
         traj = inv(pipe.params["unet"], latent, cond[:1])
-        ctx = jnp.concatenate([uncond, cond], axis=0)
-        noise_loss, _ = off(pipe.params["unet"], traj, ctx, g)
-        x_t = traj[-1]
 
         spec = MasaCtrlSpec(start_step=step, start_layer=layper)
-        latents = self._sample(spec)(
-            pipe.params["unet"], x_t, cond, uncond, g, noise_loss,
-            jnp.array([1.0, 0.0], pipe.dtype))
+        latents = self._sample_fused(spec)(
+            pipe.params["unet"], traj, cond, uncond, g)
         imgs = np.asarray(dec(pipe.params["vae"], latents))
         return self._strip(prompt_src, prompt_tar, image_gt, imgs[0], imgs[-1])

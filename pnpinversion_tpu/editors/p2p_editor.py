@@ -115,12 +115,10 @@ class P2PEditor:
 
     def _fused_direct(self, spec: P2PSpec):
         """Fused offsets+edit scan (sampling/p2p_forward.fused_direct_inversion_edit)."""
-        import dataclasses as _dc
-
         from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
 
         sched, ucfg = self.pipe.schedule, self.pipe.config.unet
-        fspec = _dc.replace(spec, cond_groups=2, edit_group=1)
+        fspec = spec  # 2B-row fused scan uses the plain controller layout
 
         def build():
             control = P2PControl(fspec)

@@ -80,13 +80,11 @@ class BatchedDirectInversionP2P:
     def _fn(self, spec: P2PSpec):
         if spec in self._cache:
             return self._cache[spec]
-        import dataclasses as _dc
-
         from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
 
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
-        control = P2PControl(_dc.replace(spec, cond_groups=2, edit_group=1))
+        control = P2PControl(spec)
 
         def one_image(params, image_u8, cond, uncond, g, tensors):
             """image_u8 (H,W,3); cond/uncond (2,77,D); tensors per-image pytree.
@@ -146,10 +144,9 @@ class BatchedMasaCtrl:
         if key in self._cache:
             return self._cache[key]
         from pnpinversion_tpu.control.masactrl import MasaCtrlControl, MasaCtrlSpec
-        from pnpinversion_tpu.inversion.ddim_inversion import (
-            direct_inversion_offsets,
+        from pnpinversion_tpu.sampling.p2p_forward import (
+            fused_direct_inversion_edit,
         )
-        from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
 
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
@@ -158,20 +155,18 @@ class BatchedMasaCtrl:
                                                start_layer=self.start_layer))
 
         def one_image(params, image_u8, cond, uncond, g):
-            """cond: (2, 77, D) = ["", target]."""
+            """cond: (2, 77, D) = ["", target]. The offsets variant computes
+            the DirectInversion loss from the sampling pass's own source row
+            (editors/masactrl_editor._sample_fused algebra); ddim+ zeroes the
+            row mask, which degenerates the same scan to plain sampling."""
             latent = image_to_latent(params["vae"], image_u8, vcfg,
                                      dtype=pipe.dtype)
             traj = ddim_invert_loop(params["unet"], sched, latent, cond[:1], ucfg)
-            if use_offsets:
-                ctx = jnp.concatenate([uncond, cond], axis=0)
-                noise_loss, _ = direct_inversion_offsets(
-                    params["unet"], sched, traj, ctx, g, ucfg)
-                row_mask = jnp.array([1.0, 0.0], pipe.dtype)
-            else:
-                noise_loss = jnp.zeros((T, 2) + latent.shape[1:], pipe.dtype)
-                row_mask = jnp.zeros((2,), pipe.dtype)
-            lat = guidance_forward(params["unet"], sched, ucfg, traj[-1], cond,
-                                   uncond, g, control, {}, noise_loss, row_mask)
+            row_mask = (jnp.array([1.0, 0.0], pipe.dtype) if use_offsets
+                        else jnp.zeros((2,), pipe.dtype))
+            lat = fused_direct_inversion_edit(
+                params["unet"], sched, ucfg, traj, cond, uncond, g, control,
+                {}, row_mask, jnp.ones((T,), pipe.dtype))
             imgs = latent_to_image(params["vae"], lat, vcfg)
             return imgs[0], imgs[1]
 

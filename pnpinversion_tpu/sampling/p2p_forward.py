@@ -96,46 +96,44 @@ def fused_direct_inversion_edit(
     offset_row_mask: Array,  # (B,)
     step_gate: Array,  # (T,)
 ) -> Array:
-    """DirectInversion offsets + controlled edit in ONE scan (batch 4B).
+    """DirectInversion offsets + controlled edit in ONE batch-2B scan.
 
-    The reference runs the offset replay and the edit pass as two separate
-    50-step loops (inversion.py:375-391 then p2p_guidance_forward.py:135-173);
-    since the step-i offset depends only on the offset-phase state, both fit
-    one scan whose UNet call batches [off_u, edit_u, off_c, edit_c] — the same
-    FLOPs at twice the batch (better MXU utilization, half the dispatches).
-    ``control`` must carry spec.cond_groups=2, edit_group=1.
+    The reference runs an offset replay (50 x b=4) and then the edit pass
+    (50 x b=4) as separate loops (inversion.py:375-391,
+    p2p_guidance_forward.py:135-173). With full offsets the replay's latent
+    re-snaps to the inversion trajectory every step, and the controller never
+    modifies the source row's outputs (P2P edits only target rows; LocalBlend
+    blends rows >= 1 toward row 0), so the edit pass's own source row IS the
+    offset replay: loss_i = traj[T-1-i] - ddim_step(eps_source_row). One
+    batch-2B scan therefore computes both — the reference's entire offset
+    phase (~1/3 of its per-image UNet cost) falls out algebraically.
+    ``control`` uses the plain spec (source row = group 0's base row).
 
     Returns final edit latents (B, h, w, c).
     """
     T = schedule.num_steps
     B = cond_embeddings.shape[0]
     x_t = jnp.broadcast_to(trajectory[-1], (B,) + trajectory.shape[2:])
-    ctx = jnp.concatenate(
-        [uncond_embeddings, uncond_embeddings, cond_embeddings, cond_embeddings],
-        axis=0)
+    ctx = jnp.concatenate([uncond_embeddings, cond_embeddings], axis=0)
     state0 = control.init_state(B, x_t.dtype, heads=config.num_heads)
     rm = offset_row_mask[:, None, None, None]
 
     def body(carry, i):
-        lat_off, lat_edit, state = carry
+        latents, state = carry
         t = schedule.timesteps[i]
-        latent_prev = jnp.broadcast_to(trajectory[T - 1 - i], lat_off.shape)
-        x_in = jnp.concatenate([lat_off, lat_edit, lat_off, lat_edit], axis=0)
-        eps4, state = unet_apply(
+        latent_prev = trajectory[T - 1 - i]  # (1, h, w, c)
+        x_in = jnp.concatenate([latents, latents], axis=0)
+        eps2, state = unet_apply(
             params, x_in, t, ctx, config, control, tensors, state, step=i)
-        eps_off = classifier_free_guidance(eps4[:B], eps4[2 * B : 3 * B],
-                                           guidance_scale)
-        eps_edit = classifier_free_guidance(eps4[B : 2 * B], eps4[3 * B :],
-                                            guidance_scale)
-        prev_rec = ddim_step(schedule, eps_off, t, lat_off)
-        loss = (latent_prev - prev_rec) * step_gate[i]
-        lat_off = prev_rec + loss
-        lat_edit = ddim_step(schedule, eps_edit, t, lat_edit) + loss * rm
-        lat_edit, state = control.step_callback(lat_edit, tensors, state, i)
-        return (lat_off, lat_edit, state), ()
+        eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
+        stepped = ddim_step(schedule, eps, t, latents)
+        loss = (latent_prev - stepped[:1]) * step_gate[i]
+        latents = stepped + loss * rm
+        latents, state = control.step_callback(latents, tensors, state, i)
+        return (latents, state), ()
 
-    (_, lat_edit, _), _ = jax.lax.scan(body, (x_t, x_t, state0), jnp.arange(T))
-    return lat_edit
+    (latents, _), _ = jax.lax.scan(body, (x_t, state0), jnp.arange(T))
+    return latents
 
 
 def guidance_forward_single_branch(

@@ -28,8 +28,6 @@ def pipe():
 
 
 def test_fused_matches_two_phase(pipe):
-    import dataclasses
-
     rng = np.random.RandomState(3)
     size = pipe.config.vae.sample_size
     img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
@@ -57,11 +55,11 @@ def test_fused_matches_two_phase(pipe):
         pipe.params["unet"], pipe.schedule, pipe.config.unet, traj[-1],
         cond, uncond, g, ctrl, tensors, noise_loss, row_mask)
 
-    # fused
-    fspec = dataclasses.replace(ctrl.spec, cond_groups=2, edit_group=1)
+    # fused (2B-row scan: the edit pass's source row doubles as the offset
+    # replay, so the controller uses the plain spec)
     fused = fused_direct_inversion_edit(
         pipe.params["unet"], pipe.schedule, pipe.config.unet, traj, cond, uncond,
-        g, P2PControl(fspec), tensors, row_mask, jnp.ones((T,)))
+        g, P2PControl(ctrl.spec), tensors, row_mask, jnp.ones((T,)))
 
     # different compiled graphs -> fp noise amplified by the tiny random UNet;
     # the math is identical
