@@ -334,13 +334,16 @@ class P2PEditor:
         use_fused = fused and offset_rows == "source" and use_fast_recon
 
         if use_fused:
-            # one batch-4B scan computes offsets AND the controlled edit
+            # one batch-2B scan computes offsets AND the controlled edit
             row_mask = jnp.array([1.0, 0.0], pipe.dtype)
             edit_latents = self._fused_direct(spec)(
                 pipe.params["unet"], traj, cond, uncond, g, tensors, row_mask, gate)
-            recon = np.asarray(self._decode_image(pipe.params["vae"], traj[0]))[0]
-            edit = np.asarray(self._decode_image(pipe.params["vae"], edit_latents[-1:]))[0]
-            return self._strip(prompt_src, prompt_tar, image_gt, recon, edit)
+            # recon = decode(traj[0]) (exact-reconstruction shortcut); decode
+            # both panels in one batched VAE call
+            both = np.asarray(self._decode_image(
+                pipe.params["vae"],
+                jnp.concatenate([traj[0], edit_latents[-1:]], axis=0)))
+            return self._strip(prompt_src, prompt_tar, image_gt, both[0], both[1])
 
         context = jnp.concatenate([uncond, cond], axis=0)
         noise_loss, _ = self._offsets(pipe.params["unet"], traj, context, g, gate)

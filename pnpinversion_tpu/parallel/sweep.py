@@ -189,6 +189,65 @@ class BatchedMasaCtrl:
                 jnp.asarray(guidance_scale, self.pipe.dtype))
 
 
+class BatchedInstruct:
+    """InstructPix2Pix / InstructDiffusion over a dp-sharded image batch
+    (per-image pipeline = editors/instruct_editor.py, vmapped). The pipe
+    must carry the 8-in-channel UNet (configs.IP2P)."""
+
+    VARIANTS = {"instruct-pix2pix": ("ip2p", 7.5, 1.5),
+                "instruct-diffusion": ("instructdiff", 5.0, 1.25)}
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 steps: Optional[int] = None, seed: int = 1234):
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.steps = steps if steps is not None else pipe.schedule.num_steps
+        self.seed = seed
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, method: str):
+        if method in self._cache:
+            return self._cache[method]
+        from pnpinversion_tpu.editors.instruct_editor import instruct_sample
+        from pnpinversion_tpu.models.vae import vae_encode
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
+        variant, cfg_text, cfg_image = self.VARIANTS[method]
+        steps = self.steps
+        text_uncond = pipe.encode_prompt([""])
+
+        def one_image(params, image_u8, text_cond, ct, ci, rng):
+            """text_cond (1,77,D) instruction embedding."""
+            img01 = image_u8.astype(pipe.dtype) / 127.5 - 1.0
+            image_cond = vae_encode(params["vae"], img01[None], vcfg, scale=False)
+            lat = instruct_sample(params["unet"], sched, ucfg, image_cond,
+                                  text_cond, text_uncond, steps, ct, ci, rng,
+                                  variant)
+            return latent_to_image(params["vae"], lat, vcfg)[0]
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, repl, repl, repl),
+                     out_shardings=shard)
+        self._cache[method] = fn
+        return fn
+
+    def edit_batch(self, method: str, images_u8: Array, text_cond: Array,
+                   cfg_text: Optional[float] = None,
+                   cfg_image: Optional[float] = None) -> Array:
+        """images_u8 (N,H,W,3); text_cond (N,1,77,D). Returns edit images."""
+        _, ct0, ci0 = self.VARIANTS[method]
+        with self.mesh:
+            return self._fn(method)(
+                self.pipe.params, images_u8, text_cond,
+                jnp.asarray(cfg_text if cfg_text is not None else ct0, self.pipe.dtype),
+                jnp.asarray(cfg_image if cfg_image is not None else ci0, self.pipe.dtype),
+                jax.random.PRNGKey(self.seed))
+
+
 class BatchedBLD:
     """Blended Latent Diffusion over a dp-sharded image batch (per-image
     pipeline = editors/bld_editor.py's phases, vmapped). The reference runs

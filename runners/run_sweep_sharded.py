@@ -32,6 +32,7 @@ from pnpinversion_tpu.parallel.sweep import (
     BatchedDirectInversionP2P,
     BatchedEDICT,
     BatchedEditFriendly,
+    BatchedInstruct,
     BatchedMasaCtrl,
     BatchedPnP,
     group_items_by_spec,
@@ -44,7 +45,8 @@ from pnpinversion_tpu.utils.observability import RunLogger
 
 METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
            "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p",
-           "blended-latent-diffusion", "edict+direct_forward", "edict+p2p"]
+           "blended-latent-diffusion", "edict+direct_forward", "edict+p2p",
+           "instruct-pix2pix", "instruct-diffusion"]
 
 
 def _save_strips(chunk, images, recon, edit, size, logger, method):
@@ -217,6 +219,26 @@ def _sweep_edict(pipe, mesh, pending, batch, size, logger, method):
         _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
+def _sweep_instruct(pipe, mesh, pending, batch, size, logger, method):
+    from PIL import Image as PILImage
+
+    sweep = BatchedInstruct(pipe, mesh)
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        # instruct models resize with LANCZOS, no crop
+        # (run_editing_instructpix2pix.py:115-118)
+        images = [np.array(PILImage.open(e["item"].image_path).convert("RGB")
+                           .resize((size, size), PILImage.Resampling.LANCZOS))
+                  for e in chunk]
+        imgs, _ = pad_batch(images, batch)
+        conds = [np.asarray(pipe.encode_prompt([e["item"].editing_instruction]))
+                 for e in chunk]
+        cond, _ = pad_batch(conds, batch)
+        edit = sweep.edit_batch(method, jnp.asarray(imgs), jnp.asarray(cond))
+        zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
+        _save_strips(chunk, images, zeros, edit, size, logger, method)
+
+
 def main(argv=None):
     parser = standard_argparser(["directinversion+p2p"])
     parser.add_argument("--method", choices=METHODS,
@@ -236,11 +258,16 @@ def main(argv=None):
     multihost.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
 
-    # BLD runs SD2.1-base in the reference
-    # (run_editing_blended_latent_diffusion.py:43); everything else SD1.4
-    from pnpinversion_tpu.configs import SD21
+    # BLD runs SD2.1-base (run_editing_blended_latent_diffusion.py:43); the
+    # instruct models an 8-in-channel ldm UNet; everything else SD1.4
+    from pnpinversion_tpu.configs import IP2P, SD21
 
-    sd_config = SD21 if method == "blended-latent-diffusion" else SD14
+    if method == "blended-latent-diffusion":
+        sd_config = SD21
+    elif method.startswith("instruct"):
+        sd_config = IP2P
+    else:
+        sd_config = SD14
     pipe = SDPipeline.create(sd_config, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir,
                              dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
@@ -283,6 +310,8 @@ def main(argv=None):
         _sweep_bld(pipe, mesh, pending, batch, size, logger)
     elif method.startswith("edict"):
         _sweep_edict(pipe, mesh, pending, batch, size, logger, method)
+    elif method.startswith("instruct"):
+        _sweep_instruct(pipe, mesh, pending, batch, size, logger, method)
     else:
         _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 

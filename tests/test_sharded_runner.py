@@ -135,17 +135,25 @@ def test_batched_ef_matches_editor():
                                     "directinversion+pnp", "ddim+pnp",
                                     "edit-friendly-inversion+p2p",
                                     "blended-latent-diffusion",
-                                    "edict+direct_forward", "edict+p2p"])
+                                    "edict+direct_forward", "edict+p2p",
+                                    "instruct-pix2pix", "instruct-diffusion"])
 def test_sharded_sweep_more_families(method, mini_dataset, tmp_path, monkeypatch):
-    """VERDICT r1 next #8: MasaCtrl and PnP families through the same
+    """VERDICT r1 next #8: the remaining PIE-Bench families through the same
     vmap+shard sweep path, on the virtual mesh."""
+    import dataclasses
+
     import runners.run_sweep_sharded as runner
 
+    # instruct models need the 8-in-channel UNet (latent + image-cond concat)
+    tiny8 = dataclasses.replace(
+        TINY, unet=dataclasses.replace(TINY.unet, in_channels=8))
     orig_create = SDPipeline.create.__func__
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None: orig_create(
+                        cls, tiny8 if cfg.name == "ip2p" else TINY,
+                        num_ddim_steps=4)))
     out = tmp_path / "out"
     runner.main([
         "--data_path", mini_dataset, "--output_path", str(out),
