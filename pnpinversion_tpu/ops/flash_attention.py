@@ -84,8 +84,16 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     block_k = min(block_k, sk)
     orig_dtype = q.dtype
 
-    # lane-align the head dim; zero-padding is exact for attention
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    # SD head dims (40/80/160) are not lane-aligned. When D is a sublane
+    # multiple, hand the unpadded arrays to Mosaic: the implicit lane padding
+    # of VMEM loads is zero-filled (verified exact vs the einsum path on
+    # hardware), which keeps the QK logits and PV products unchanged while
+    # skipping three HBM pad materializations and the output slice. The
+    # interpreter (CPU tests) has no such tiling, so pad explicitly there.
+    if d % 8 == 0 and not interpret:
+        d_pad = d
+    else:
+        d_pad = max(128, ((d + 127) // 128) * 128)
     if d != d_pad:
         q = _pad_to(q, 3, d_pad)
         k = _pad_to(k, 3, d_pad)

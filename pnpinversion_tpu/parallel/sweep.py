@@ -189,6 +189,72 @@ class BatchedMasaCtrl:
                 jnp.asarray(guidance_scale, self.pipe.dtype))
 
 
+class BatchedPix2PixZero:
+    """pix2pix-zero (ddim+ / directinversion+) over a dp-sharded image batch
+    (per-image pipeline = editors/pix2pix_zero_editor.py: posterior-sampled
+    VAE encode, regularized inversion, fused two-pass map-guided edit).
+    Captions are host-side inputs (BLIP or a caption file), pre-encoded to
+    embeddings by the caller."""
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 steps_offset: int = 1, seed: int = 1234,
+                 xa_guidance: float = 0.1):
+        from pnpinversion_tpu.schedulers.ddim import make_ddim_schedule
+
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.schedule = make_ddim_schedule(
+            num_steps=pipe.schedule.num_steps, steps_offset=steps_offset)
+        self.seed = seed
+        self.xa_guidance = xa_guidance
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, use_offsets: bool):
+        if use_offsets in self._cache:
+            return self._cache[use_offsets]
+        from pnpinversion_tpu.inversion.pix2pix_zero import p2z_edit, p2z_invert
+        from pnpinversion_tpu.models.vae import vae_encode
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = self.schedule, pipe.config.unet, pipe.config.vae
+        xa = self.xa_guidance
+
+        def one_image(params, image_u8, cond_caption, edit_dir, g, rng):
+            """cond_caption (1,77,D); edit_dir (1,77,D)."""
+            k_enc, k_inv = jax.random.split(rng)
+            img01 = image_u8.astype(pipe.dtype) / 127.5 - 1.0
+            latent = vae_encode(params["vae"], img01[None], vcfg, rng=k_enc)
+            traj = p2z_invert(params["unet"], sched, latent, cond_caption,
+                              ucfg, k_inv)
+            prompt_embeds = jnp.concatenate([cond_caption, cond_caption], axis=0)
+            rec, edit = p2z_edit(params["unet"], sched, traj[-1], prompt_embeds,
+                                 edit_dir, g, xa, ucfg,
+                                 latent_list=traj if use_offsets else None)
+            recon_img = latent_to_image(params["vae"], rec, vcfg)[0]
+            edit_img = latent_to_image(params["vae"], edit, vcfg)[0]
+            return recon_img, edit_img
+
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None, None))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, shard, shard, shard, repl, repl),
+                     out_shardings=(shard, shard))
+        self._cache[use_offsets] = fn
+        return fn
+
+    def edit_batch(self, method: str, images_u8: Array, cond_caption: Array,
+                   edit_dir: Array, guidance_scale: float = 7.5
+                   ) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond_caption/edit_dir (N,1,77,D)."""
+        use_offsets = method == "directinversion+pix2pix-zero"
+        with self.mesh:
+            return self._fn(use_offsets)(
+                self.pipe.params, images_u8, cond_caption, edit_dir,
+                jnp.asarray(guidance_scale, self.pipe.dtype),
+                jax.random.PRNGKey(self.seed))
+
+
 class BatchedInstruct:
     """InstructPix2Pix / InstructDiffusion over a dp-sharded image batch
     (per-image pipeline = editors/instruct_editor.py, vmapped). The pipe

@@ -34,6 +34,7 @@ from pnpinversion_tpu.parallel.sweep import (
     BatchedEditFriendly,
     BatchedInstruct,
     BatchedMasaCtrl,
+    BatchedPix2PixZero,
     BatchedPnP,
     group_items_by_spec,
     make_dp_mesh,
@@ -46,7 +47,8 @@ from pnpinversion_tpu.utils.observability import RunLogger
 METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
            "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p",
            "blended-latent-diffusion", "edict+direct_forward", "edict+p2p",
-           "instruct-pix2pix", "instruct-diffusion"]
+           "instruct-pix2pix", "instruct-diffusion",
+           "ddim+pix2pix-zero", "directinversion+pix2pix-zero"]
 
 
 def _save_strips(chunk, images, recon, edit, size, logger, method):
@@ -239,8 +241,58 @@ def _sweep_instruct(pipe, mesh, pending, batch, size, logger, method):
         _save_strips(chunk, images, zeros, edit, size, logger, method)
 
 
+def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
+    from PIL import Image as PILImage
+
+    captions = {}
+    if getattr(args, "caption_file", None):
+        import json
+
+        with open(args.caption_file) as f:
+            captions = json.load(f)
+    captioner = None
+    if args.checkpoint_dir is not None:
+        try:
+            from pnpinversion_tpu.models.blip import make_blip_captioner
+
+            captioner = make_blip_captioner(args.checkpoint_dir)
+        except (ImportError, FileNotFoundError):
+            captioner = None
+
+    sweep = BatchedPix2PixZero(pipe, mesh)
+    for lo in range(0, len(pending), batch):
+        chunk = pending[lo : lo + batch]
+        # pix2pix-zero resizes with LANCZOS, no crop (edit_pipeline semantics)
+        images = [np.array(PILImage.open(e["item"].image_path).convert("RGB")
+                           .resize((size, size), PILImage.Resampling.LANCZOS))
+                  for e in chunk]
+        imgs, _ = pad_batch(images, batch)
+        conds, dirs = [], []
+        for e, img in zip(chunk, images):
+            item = e["item"]
+            cap = captions.get(item.key)
+            if cap is None:
+                if captioner is None:
+                    raise ValueError(
+                        "pix2pix-zero needs captions: pass --caption_file or "
+                        "converted BLIP weights via --checkpoint_dir")
+                cap = captioner(img)
+            conds.append(np.asarray(pipe.encode_prompt([cap])))
+            emb_src = np.asarray(pipe.encode_prompt([item.source_prompt]))
+            emb_tar = np.asarray(pipe.encode_prompt([item.target_prompt]))
+            dirs.append((emb_tar - emb_src).mean(axis=0, keepdims=True))
+        cond, _ = pad_batch(conds, batch)
+        edit_dir, _ = pad_batch(dirs, batch)
+        recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
+                                       jnp.asarray(cond),
+                                       jnp.asarray(edit_dir, pipe.dtype))
+        _save_strips(chunk, images, recon, edit, size, logger, method)
+
+
 def main(argv=None):
     parser = standard_argparser(["directinversion+p2p"])
+    parser.add_argument("--caption_file", type=str, default=None,
+                        help="pix2pix-zero: JSON {image key: caption} instead of BLIP")
     parser.add_argument("--method", choices=METHODS,
                         default="directinversion+p2p")
     parser.add_argument("--batch_per_device", type=int, default=1)
@@ -312,6 +364,8 @@ def main(argv=None):
         _sweep_edict(pipe, mesh, pending, batch, size, logger, method)
     elif method.startswith("instruct"):
         _sweep_instruct(pipe, mesh, pending, batch, size, logger, method)
+    elif method.endswith("pix2pix-zero"):
+        _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args)
     else:
         _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 

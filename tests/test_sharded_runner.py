@@ -93,6 +93,33 @@ def test_batched_masactrl_matches_editor():
         assert diff.max() <= 2, diff.max()  # uint8 rounding headroom
 
 
+@pytest.mark.parametrize("method", ["ddim+pix2pix-zero",
+                                    "directinversion+pix2pix-zero"])
+def test_sharded_sweep_pix2pix_zero(method, mini_dataset, tmp_path, monkeypatch):
+    import runners.run_sweep_sharded as runner
+
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        runner.SDPipeline, "create",
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+    captions = {f"{i:06d}": "a photo of a cat" for i in range(3)}
+    cap_file = tmp_path / "captions.json"
+    cap_file.write_text(json.dumps(captions))
+    out = tmp_path / "out"
+    runner.main([
+        "--data_path", mini_dataset, "--output_path", str(out),
+        "--num_ddim_steps", "4", "--n_devices", "2", "--method", method,
+        "--caption_file", str(cap_file),
+    ])
+    produced = sorted((out / method / "annotation_images").rglob("*.jpg"))
+    assert len(produced) == 3
+    for p in produced:
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (16, 64, 3)
+        assert np.isfinite(arr).all()
+
+
 def test_batched_ef_matches_editor():
     """Batched EF path == per-image editor panels (same math, vmap added)."""
     import jax.numpy as jnp
