@@ -113,7 +113,7 @@ def main():
         eq_params={"words": ("square",), "values": (2,)},
         num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
         latent_size=pipe.latent_size)
-    nb = 2
+    nb = int(os.environ.get("PNPI_BENCH_BATCH", "2"))
     imgs_b = jnp.asarray(np.stack([img] * nb))
     cond_b = jnp.asarray(np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * nb))
     tens_b = jax.tree.map(lambda x: jnp.stack([x] * nb), tensors1)
