@@ -83,7 +83,15 @@ def group_norm(p: Params, x: Array, groups: int, eps: float = 1e-5) -> Array:
     instead of a reshape to (..., groups, C/groups): SD's 10-channel groups
     land mid-lane on TPU, so the reshape forces a physical relayout of every
     activation, while the matmul contracts over the native lane dimension on
-    the MXU (measured ~2x faster GN at SD shapes, identical two-pass math).
+    the MXU (measured ~2x faster GN at SD shapes).
+
+    Moments come from one pass (E[x^2] - E[x]^2, both reductions over the
+    same read of x) and the normalization is folded to a single per-channel
+    affine y = x*a + b, so the whole apply is one elementwise fusion over x
+    with no f32 intermediate materialized to HBM. The f32 sumsq accumulation
+    loses ~2^-24*(1+(mean/std)^2) relative variance accuracy — orders of
+    magnitude below the bf16 activation noise floor for any realistic
+    mean/std ratio.
     """
     orig_dtype = x.dtype
     b, h, w, c = x.shape
@@ -92,24 +100,31 @@ def group_norm(p: Params, x: Array, groups: int, eps: float = 1e-5) -> Array:
               == jnp.arange(groups, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     n = h * w * cg
     xf = x.astype(jnp.float32).reshape(b, h * w, c)
-    mean_g = jnp.einsum("bsc,cg->bg", xf, member,
-                        preferred_element_type=jnp.float32) / n
-    mean_c = (mean_g @ member.T)[:, None, :]
-    centered = xf - mean_c
-    var_g = jnp.einsum("bsc,cg->bg", centered * centered, member,
-                       preferred_element_type=jnp.float32) / n
-    inv_c = (jax.lax.rsqrt(var_g + eps) @ member.T)[:, None, :]
-    y = centered * inv_c
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    sum_g = jnp.einsum("bsc,cg->bg", xf, member,
+                       preferred_element_type=jnp.float32)
+    sumsq_g = jnp.einsum("bsc,cg->bg", xf * xf, member,
+                         preferred_element_type=jnp.float32)
+    mean_g = sum_g / n
+    var_g = jnp.maximum(sumsq_g / n - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    a_c = (inv_g @ member.T) * p["scale"].astype(jnp.float32)[None]
+    b_c = (p["bias"].astype(jnp.float32)[None]
+           - (mean_g * inv_g) @ member.T * p["scale"].astype(jnp.float32)[None])
+    y = xf * a_c[:, None, :] + b_c[:, None, :]
     return y.reshape(b, h, w, c).astype(orig_dtype)
 
 
 def layer_norm(p: Params, x: Array, eps: float = 1e-5) -> Array:
+    """LayerNorm with one-pass f32 moments (E[x^2] - E[x]^2) and the
+    normalization folded to a single fused elementwise pass (same rationale
+    and error bound as group_norm above)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
-    var = xf.var(axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    meansq = (xf * xf).mean(axis=-1, keepdims=True)
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * inv
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return y.astype(orig_dtype)
 
