@@ -60,15 +60,29 @@ def pad_batch(arrays: List[np.ndarray], multiple: int) -> Tuple[np.ndarray, int]
 
 
 class BatchedDirectInversionP2P:
-    """directinversion+p2p over a batch of images, dp-sharded.
+    """P2P-family inversion variants over a dp-sharded image batch:
+    directinversion+p2p, ddim+p2p, negative-prompt-inversion+p2p and
+    null-text-inversion+p2p.
 
-    The per-image pipeline is exactly editors/p2p_editor.py's
-    edit_direct_inversion; vmap adds the image axis.
+    The per-image pipelines mirror editors/p2p_editor.py's
+    edit_direct_inversion / edit_ddim / edit_negative_prompt /
+    edit_null_text; vmap adds the image axis. For every variant the
+    controller never modifies the source row of the edit scan (P2P edits
+    target rows; LocalBlend is a no-op on row 0), so the edit pass's row 0
+    IS the reconstruction pass — each image costs one batch-2 scan, with no
+    separate recon replay. The ``uncond2`` input is per-image so
+    negative-prompt inversion can feed its "fake uncond" (= source cond,
+    optionally slerped — p2p_editor.py:324-414) through the same program.
     """
 
-    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None):
+    VARIANTS = ("directinversion+p2p", "ddim+p2p",
+                "negative-prompt-inversion+p2p", "null-text-inversion+p2p")
+
+    def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
+                 num_inner_steps: int = 10):
         self.pipe = pipe
         self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.num_inner_steps = num_inner_steps  # null-text Adam inner steps
         self._cache: Dict[Any, Any] = {}
 
     def _sharding(self):
@@ -77,48 +91,75 @@ class BatchedDirectInversionP2P:
     def _replicated(self):
         return NamedSharding(self.mesh, P())
 
-    def _fn(self, spec: P2PSpec):
-        if spec in self._cache:
-            return self._cache[spec]
-        from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
+    def _fn(self, spec: P2PSpec, method: str = "directinversion+p2p"):
+        key = (spec, method)
+        if key in self._cache:
+            return self._cache[key]
+        from pnpinversion_tpu.inversion.ddim_inversion import (
+            null_text_optimization,
+        )
+        from pnpinversion_tpu.sampling.p2p_forward import (
+            fused_direct_inversion_edit,
+            guidance_forward,
+        )
 
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
         control = P2PControl(spec)
+        inner = self.num_inner_steps
 
-        def one_image(params, image_u8, cond, uncond, g, tensors):
-            """image_u8 (H,W,3); cond/uncond (2,77,D); tensors per-image pytree.
-            Uses the fused offsets+edit scan and the exact-reconstruction
-            shortcut (recon = decode(traj[0]))."""
+        def one_image(params, image_u8, cond, uncond2, g, tensors):
+            """image_u8 (H,W,3); cond/uncond2 (2,77,D); tensors per-image
+            pytree. directinversion uses the fused offsets+edit scan and the
+            exact-reconstruction shortcut (recon = decode(traj[0]))."""
             vae_p, unet_p = params["vae"], params["unet"]
             latent = image_to_latent(vae_p, image_u8, vcfg, dtype=pipe.dtype)
             traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
-            row_mask = jnp.array([1.0, 0.0], pipe.dtype)
-            gate = jnp.ones((sched.num_steps,), pipe.dtype)
-            edit = fused_direct_inversion_edit(
-                unet_p, sched, ucfg, traj, cond, uncond, g, control, tensors,
-                row_mask, gate)
-            recon_img = latent_to_image(vae_p, traj[0], vcfg)[0]
-            edit_img = latent_to_image(vae_p, edit[-1:], vcfg)[0]
+            if method == "null-text-inversion+p2p":
+                uncond_steps = null_text_optimization(
+                    unet_p, sched, traj, uncond2[:1], cond[:1], g, ucfg,
+                    num_inner_steps=inner)
+                rows = guidance_forward(
+                    unet_p, sched, ucfg, traj[-1], cond, uncond_steps, g,
+                    control, tensors)
+                recon_lat = rows[:1]
+            else:
+                row_mask = (jnp.array([1.0, 0.0], pipe.dtype)
+                            if method == "directinversion+p2p"
+                            else jnp.zeros((2,), pipe.dtype))
+                gate = jnp.ones((sched.num_steps,), pipe.dtype)
+                rows = fused_direct_inversion_edit(
+                    unet_p, sched, ucfg, traj, cond, uncond2, g, control,
+                    tensors, row_mask, gate)
+                recon_lat = (traj[0] if method == "directinversion+p2p"
+                             else rows[:1])
+            recon_img = latent_to_image(vae_p, recon_lat, vcfg)[0]
+            edit_img = latent_to_image(vae_p, rows[-1:], vcfg)[0]
             return recon_img, edit_img
 
-        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None, 0))
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None, 0))
 
         fn = jax.jit(
             batched,
             in_shardings=(self._replicated(), self._sharding(), self._sharding(),
-                          self._replicated(), self._replicated(), self._sharding()),
+                          self._sharding(), self._replicated(), self._sharding()),
             out_shardings=(self._sharding(), self._sharding()),
         )
-        self._cache[spec] = fn
+        self._cache[key] = fn
         return fn
 
     def edit_batch(self, spec: P2PSpec, images_u8: Array, cond: Array,
-                   uncond: Array, guidance_scale: float, tensors) -> Tuple[Array, Array]:
-        """images_u8 (N,H,W,3); cond (N,2,77,D); tensors: pytree with leading N.
+                   uncond: Array, guidance_scale: float, tensors,
+                   method: str = "directinversion+p2p") -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond (N,2,77,D); uncond (2,77,D) shared or
+        (N,2,77,D) per-image; tensors: pytree with leading N.
         Returns (recon_imgs, edit_imgs) uint8 (N,H,W,3)."""
+        uncond = jnp.asarray(uncond)
+        if uncond.ndim == 3:
+            uncond = jnp.broadcast_to(
+                uncond[None], (images_u8.shape[0],) + uncond.shape)
         with self.mesh:
-            return self._fn(spec)(
+            return self._fn(spec, method)(
                 self.pipe.params, images_u8, cond, uncond,
                 jnp.asarray(guidance_scale, self.pipe.dtype), tensors)
 
@@ -607,3 +648,128 @@ class BatchedPnP:
             return self._fn(method)(
                 self.pipe.params, images_u8, cond_src, cond_tar,
                 jnp.asarray(guidance_scale, self.pipe.dtype))
+
+
+class BatchedStyleDiffusion:
+    """stylediffusion+p2p over a dp-sharded image batch.
+
+    The per-image pipeline is exactly editors/stylediffusion_editor.py's
+    phases (CLIP image tokens, inversion with supervision maps, per-step
+    mapper training, v_replace recon pass, tau-controlled edit pass); vmap
+    adds the image axis, so the per-image mapper *training* also runs
+    data-parallel across the mesh. The reference runs the whole method
+    strictly per image (run_editing_stylediffusion.py:229-270) — this was
+    the last PIE-Bench family without a batched multi-chip path.
+    """
+
+    def __init__(self, pipe: SDPipeline, clip_vision_params=None,
+                 clip_vision_cfg=None, mesh: Optional[Mesh] = None,
+                 num_inner_steps: int = 100, tau_v: float = 0.5,
+                 tau_c: float = 0.6, tau_s: float = 0.6, tau_u: float = 0.0,
+                 rng: Optional[Array] = None):
+        from pnpinversion_tpu.editors.stylediffusion_editor import CLIP_VIT_B16
+        from pnpinversion_tpu.models import vit
+
+        self.pipe = pipe
+        self.mesh = mesh if mesh is not None else make_dp_mesh()
+        self.clip_cfg = clip_vision_cfg if clip_vision_cfg is not None else CLIP_VIT_B16
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        self.clip_params = (clip_vision_params if clip_vision_params is not None
+                            else vit.init_vit_params(rng, self.clip_cfg))
+        self.num_inner_steps = num_inner_steps
+        self.taus = (tau_v, tau_c, tau_s, tau_u)
+        self._cache: Dict[Any, Any] = {}
+
+    def _fn(self, p2p_spec):
+        if p2p_spec in self._cache:
+            return self._cache[p2p_spec]
+        from pnpinversion_tpu.control.stylediffusion import (
+            StyleDiffusionControl,
+            StyleDiffusionSpec,
+        )
+        from pnpinversion_tpu.evaluation.metrics import (
+            center_crop_resize_224,
+            clip_normalize,
+        )
+        from pnpinversion_tpu.inversion.stylediffusion import (
+            ddim_invert_with_maps,
+            train_mappers,
+        )
+        from pnpinversion_tpu.models import vit
+        from pnpinversion_tpu.models.stylediffusion import (
+            init_mapper_params,
+            mapper_at_step,
+        )
+        from pnpinversion_tpu.sampling.p2p_forward import guidance_forward
+
+        pipe = self.pipe
+        sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
+        T = sched.num_steps
+        clip_cfg = self.clip_cfg
+        tau_v, _, _, tau_u = self.taus
+        inner = self.num_inner_steps
+        n_tokens = (clip_cfg.image_size // clip_cfg.patch_size) ** 2 + 1
+        mapper0 = mapper_at_step(
+            init_mapper_params(jax.random.PRNGKey(0), 1, tokens_in=n_tokens,
+                               width=clip_cfg.width), 0)
+        recon_spec = StyleDiffusionSpec(batch_size=2, num_steps=T,
+                                        v_replace_end=T)
+        edit_spec = StyleDiffusionSpec(
+            batch_size=2, num_steps=T, v_replace_end=int(tau_v * T),
+            uncond_self_start=0, uncond_self_end=int(tau_u * T))
+        recon_ctrl = StyleDiffusionControl(recon_spec)
+        edit_ctrl = StyleDiffusionControl(edit_spec, P2PControl(p2p_spec))
+
+        def one_image(params, clip_params, image_u8, cond_src, cond2, uncond1,
+                      uncond2, g, p2p_tensors):
+            """cond_src (1,77,D); cond2 (2,77,D) = [src, tar]."""
+            latent = image_to_latent(params["vae"], image_u8, vcfg,
+                                     dtype=pipe.dtype)
+            x = image_u8.astype(jnp.float32) / 255.0
+            x = clip_normalize(center_crop_resize_224(x, clip_cfg.image_size))
+            img_tokens, _ = vit.vit_apply(clip_params, x[None], clip_cfg,
+                                          return_tokens=True)
+            traj, gt_maps = ddim_invert_with_maps(
+                params["unet"], sched, latent, cond_src, ucfg, pipe.num_lb_slots)
+            mappers = train_mappers(
+                params["unet"], sched, traj, gt_maps, img_tokens, uncond1,
+                cond_src, g, mapper0, ucfg, num_inner_steps=inner)
+            x_t = traj[-1]
+            zeros = jnp.zeros((T, 2) + x_t.shape[1:], pipe.dtype)
+            rm = jnp.zeros((2,), pipe.dtype)
+            tensors_recon = {"img_tokens": img_tokens, "sd_mapper": mappers}
+            recon_lat = guidance_forward(
+                params["unet"], sched, ucfg, x_t, cond2, uncond2, g,
+                recon_ctrl, tensors_recon, zeros, rm)
+            tensors_edit = dict(p2p_tensors)
+            tensors_edit.update(tensors_recon)
+            edit_lat = guidance_forward(
+                params["unet"], sched, ucfg, x_t, cond2, uncond2, g,
+                edit_ctrl, tensors_edit, zeros, rm)
+            recon_img = latent_to_image(params["vae"], recon_lat[:1], vcfg)[0]
+            edit_img = latent_to_image(params["vae"], edit_lat[-1:], vcfg)[0]
+            return recon_img, edit_img
+
+        batched = jax.vmap(one_image,
+                           in_axes=(None, None, 0, 0, 0, None, None, None, 0))
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("dp"))
+        fn = jax.jit(batched,
+                     in_shardings=(repl, repl, shard, shard, shard, repl,
+                                   repl, repl, shard),
+                     out_shardings=(shard, shard))
+        self._cache[p2p_spec] = fn
+        return fn
+
+    def edit_batch(self, p2p_spec, images_u8: Array, cond_src: Array,
+                   cond2: Array, tensors, guidance_scale: float = 7.5
+                   ) -> Tuple[Array, Array]:
+        """images_u8 (N,H,W,3); cond_src (N,1,77,D); cond2 (N,2,77,D);
+        tensors: p2p tensors pytree with leading N."""
+        uncond1 = self.pipe.encode_prompt([""])
+        uncond2 = self.pipe.encode_prompt(["", ""])
+        with self.mesh:
+            return self._fn(p2p_spec)(
+                self.pipe.params, self.clip_params, images_u8, cond_src,
+                cond2, uncond1, uncond2,
+                jnp.asarray(guidance_scale, self.pipe.dtype), tensors)

@@ -44,11 +44,18 @@ from pnpinversion_tpu.pipeline import SDPipeline
 from pnpinversion_tpu.utils.image import make_strip, txt_draw
 from pnpinversion_tpu.utils.observability import RunLogger
 
-METHODS = ["directinversion+p2p", "directinversion+masactrl", "ddim+masactrl",
+METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
+           "null-text-inversion+p2p",
+           "directinversion+masactrl", "ddim+masactrl",
            "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p",
            "blended-latent-diffusion", "edict+direct_forward", "edict+p2p",
            "instruct-pix2pix", "instruct-diffusion",
-           "ddim+pix2pix-zero", "directinversion+pix2pix-zero"]
+           "ddim+pix2pix-zero", "directinversion+pix2pix-zero",
+           "stylediffusion+p2p"]
+
+# reference output-folder names that differ from the method string
+# (run_editing_stylediffusion.py preserves this typo)
+FOLDERS = {"stylediffusion+p2p": "styleidffusion+p2p"}
 
 
 def _save_strips(chunk, images, recon, edit, size, logger, method):
@@ -65,7 +72,8 @@ def _save_strips(chunk, images, recon, edit, size, logger, method):
         print(f"saved {e['save_path']}")
 
 
-def _sweep_p2p(pipe, mesh, pending, batch, size, logger):
+def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
+               method="directinversion+p2p"):
     sweep = BatchedDirectInversionP2P(pipe, mesh)
     for e in pending:
         blended = e["item"].blended_word
@@ -79,7 +87,7 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger):
             num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
             latent_size=pipe.latent_size)
         e["spec"], e["tensors"] = ctrl.spec, tensors
-    uncond = pipe.encode_prompt(["", ""])
+    uncond = np.asarray(pipe.encode_prompt(["", ""]))
     for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
         for lo in range(0, len(group), batch):
             chunk = group[lo : lo + batch]
@@ -89,13 +97,19 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger):
                 [e["item"].source_prompt, e["item"].target_prompt]))
                 for e in chunk]
             cond, _ = pad_batch(conds, batch)
+            if method == "negative-prompt-inversion+p2p":
+                # fake uncond = source cond, both rows (npi_interp=0,
+                # run_editing_p2p.py:335)
+                uncond_b = np.stack([np.stack([c[0], c[0]]) for c in cond])
+            else:
+                uncond_b = np.stack([uncond] * len(cond))
             tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
                 batch - n_real)
             tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
             recon, edit = sweep.edit_batch(
-                spec, jnp.asarray(imgs), jnp.asarray(cond), uncond, 7.5, tensors_b)
-            _save_strips(chunk, images, recon, edit, size, logger,
-                         "directinversion+p2p")
+                spec, jnp.asarray(imgs), jnp.asarray(cond),
+                jnp.asarray(uncond_b), 7.5, tensors_b, method=method)
+            _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method):
@@ -289,6 +303,54 @@ def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
         _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
+# test hooks: tiny configs override these module globals
+STYLEDIFFUSION_CLIP_CFG = None
+STYLEDIFFUSION_INNER_STEPS = 100
+
+
+def _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger,
+                          clip_vision_cfg=None, num_inner_steps=None):
+    from pnpinversion_tpu.parallel.sweep import BatchedStyleDiffusion
+
+    if clip_vision_cfg is None:
+        clip_vision_cfg = STYLEDIFFUSION_CLIP_CFG
+    if num_inner_steps is None:
+        num_inner_steps = STYLEDIFFUSION_INNER_STEPS
+    sweep = BatchedStyleDiffusion(pipe, mesh=mesh,
+                                  clip_vision_cfg=clip_vision_cfg,
+                                  num_inner_steps=num_inner_steps)
+    # reference passes blend_word=None/eq_params=None and refine-only
+    # (run_editing_stylediffusion.py:249-258); taus v=.5 c=.6 s=.6 u=.0
+    for e in pending:
+        ctrl, tensors = make_p2p_control(
+            [e["item"].source_prompt, e["item"].target_prompt], pipe.tokenizer,
+            num_steps=pipe.schedule.num_steps,
+            cross_replace_steps={"default_": 0.6}, self_replace_steps=0.6,
+            is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+            lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+        e["spec"], e["tensors"] = ctrl.spec, tensors
+    for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():
+        for lo in range(0, len(group), batch):
+            chunk = group[lo : lo + batch]
+            images = [load_image(e["item"].image_path, size) for e in chunk]
+            imgs, n_real = pad_batch(images, batch)
+            cond_src = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
+                        for e in chunk]
+            cond2 = [np.asarray(pipe.encode_prompt(
+                [e["item"].source_prompt, e["item"].target_prompt]))
+                for e in chunk]
+            csrc, _ = pad_batch(cond_src, batch)
+            c2, _ = pad_batch(cond2, batch)
+            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
+                batch - n_real)
+            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            recon, edit = sweep.edit_batch(
+                spec, jnp.asarray(imgs), jnp.asarray(csrc), jnp.asarray(c2),
+                tensors_b, 7.5)
+            _save_strips(chunk, images, recon, edit, size, logger,
+                         "stylediffusion+p2p")
+
+
 def main(argv=None):
     parser = standard_argparser(["directinversion+p2p"])
     parser.add_argument("--caption_file", type=str, default=None,
@@ -341,7 +403,8 @@ def main(argv=None):
     for item in items:
         rel = os.path.relpath(item.image_path,
                               os.path.join(args.data_path, "annotation_images"))
-        save_path = os.path.join(args.output_path, method, "annotation_images", rel)
+        save_path = os.path.join(args.output_path, FOLDERS.get(method, method),
+                                 "annotation_images", rel)
         if os.path.exists(save_path) and not args.rerun_exist_images:
             logger.log("image_skip", key=item.key, method=method)
             continue
@@ -352,8 +415,8 @@ def main(argv=None):
         return
 
     batch = n_dev * args.batch_per_device
-    if method == "directinversion+p2p":
-        _sweep_p2p(pipe, mesh, pending, batch, size, logger)
+    if method in BatchedDirectInversionP2P.VARIANTS:
+        _sweep_p2p(pipe, mesh, pending, batch, size, logger, method)
     elif method.endswith("masactrl"):
         _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
     elif method == "edit-friendly-inversion+p2p":
@@ -366,6 +429,8 @@ def main(argv=None):
         _sweep_instruct(pipe, mesh, pending, batch, size, logger, method)
     elif method.endswith("pix2pix-zero"):
         _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args)
+    elif method == "stylediffusion+p2p":
+        _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger)
     else:
         _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
 

@@ -93,6 +93,58 @@ def test_batched_masactrl_matches_editor():
         assert diff.max() <= 2, diff.max()  # uint8 rounding headroom
 
 
+@pytest.mark.parametrize("method", ["ddim+p2p", "negative-prompt-inversion+p2p",
+                                    "null-text-inversion+p2p"])
+def test_batched_p2p_variants_match_editor(method):
+    """Batched inversion-variant paths == per-image editor panels.
+
+    Covers the row-0-is-the-recon-pass algebra: the batched path runs ONE
+    batch-2 scan per image where the editor runs separate recon+edit scans.
+    """
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedDirectInversionP2P,
+        make_dp_mesh,
+    )
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(7), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(11)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+
+    editor = P2PEditor(pipe)
+    fn = {"ddim+p2p": editor.edit_ddim,
+          "negative-prompt-inversion+p2p": editor.edit_negative_prompt,
+          "null-text-inversion+p2p": editor.edit_null_text}[method]
+    kw = {"null-text-inversion+p2p": {"num_inner_steps": 3}}.get(method, {})
+    ref_panels = [np.asarray(fn(imgs[i], src, tar, **kw))[:, 2 * size:]
+                  for i in range(2)]
+
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=4,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    sweep = BatchedDirectInversionP2P(pipe, make_dp_mesh(2), num_inner_steps=3)
+    cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    if method == "negative-prompt-inversion+p2p":
+        uncond_b = np.stack([np.stack([c[0], c[0]]) for c in cond])
+    else:
+        uncond_b = np.stack([np.asarray(pipe.encode_prompt(["", ""]))] * 2)
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+    recon, edit = sweep.edit_batch(
+        ctrl.spec, np.asarray(imgs), jnp.asarray(cond), jnp.asarray(uncond_b),
+        7.5, tb, method=method)
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, (method, diff.max())
+
+
 @pytest.mark.parametrize("method", ["ddim+pix2pix-zero",
                                     "directinversion+pix2pix-zero"])
 def test_sharded_sweep_pix2pix_zero(method, mini_dataset, tmp_path, monkeypatch):
@@ -158,7 +210,82 @@ def test_batched_ef_matches_editor():
         assert diff.max() <= 2, diff.max()
 
 
-@pytest.mark.parametrize("method", ["directinversion+masactrl", "ddim+masactrl",
+def test_batched_stylediffusion_matches_editor():
+    """Batched StyleDiffusion path == per-image editor panels (the mapper
+    training itself runs vmapped/dp-sharded)."""
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.editors.stylediffusion_editor import StyleDiffusionEditor
+    from pnpinversion_tpu.models import vit
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedStyleDiffusion,
+        make_dp_mesh,
+    )
+
+    tiny_clip = vit.ViTConfig(image_size=16, patch_size=8, width=32, layers=2,
+                              heads=2, projection_dim=16)
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(30), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(9)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+
+    editor = StyleDiffusionEditor(pipe, clip_vision_cfg=tiny_clip)
+    ref_panels = [np.asarray(editor("stylediffusion+p2p", imgs[i], src, tar,
+                                    num_inner_steps=2))[:, 2 * size:]
+                  for i in range(2)]
+
+    sweep = BatchedStyleDiffusion(pipe, clip_vision_cfg=tiny_clip,
+                                  mesh=make_dp_mesh(2), num_inner_steps=2)
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=4,
+        cross_replace_steps={"default_": 0.6}, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    cond_src = np.stack([np.asarray(pipe.encode_prompt([src]))] * 2)
+    cond2 = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+    recon, edit = sweep.edit_batch(ctrl.spec, np.asarray(imgs),
+                                   jnp.asarray(cond_src), jnp.asarray(cond2),
+                                   tb, 7.5)
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
+def test_sharded_sweep_stylediffusion(mini_dataset, tmp_path, monkeypatch):
+    import runners.run_sweep_sharded as runner
+    from pnpinversion_tpu.models import vit
+
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        runner.SDPipeline, "create",
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+    monkeypatch.setattr(runner, "STYLEDIFFUSION_CLIP_CFG",
+                        vit.ViTConfig(image_size=16, patch_size=8, width=32,
+                                      layers=2, heads=2, projection_dim=16))
+    monkeypatch.setattr(runner, "STYLEDIFFUSION_INNER_STEPS", 1)
+    out = tmp_path / "out"
+    runner.main([
+        "--data_path", mini_dataset, "--output_path", str(out),
+        "--num_ddim_steps", "4", "--n_devices", "2",
+        "--method", "stylediffusion+p2p",
+    ])
+    # the reference's output-folder typo is preserved
+    produced = sorted((out / "styleidffusion+p2p" / "annotation_images").rglob("*.jpg"))
+    assert len(produced) == 3
+    for p in produced:
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (16, 64, 3)
+        assert np.isfinite(arr).all()
+
+
+@pytest.mark.parametrize("method", ["ddim+p2p", "negative-prompt-inversion+p2p",
+                                    "null-text-inversion+p2p",
+                                    "directinversion+masactrl", "ddim+masactrl",
                                     "directinversion+pnp", "ddim+pnp",
                                     "edit-friendly-inversion+p2p",
                                     "blended-latent-diffusion",
