@@ -113,10 +113,67 @@ def crop_edit_panel(img: Image.Image, panel: Optional[int] = None) -> Image.Imag
     return img
 
 
+def _nan_sentinel(metric: str, mask: np.ndarray) -> bool:
+    """Host-side "nan" rules (evaluate.py:29-98)."""
+    if metric.endswith("_unedit_part"):
+        return (1 - mask).sum() == 0
+    if metric.endswith("_edit_part"):
+        return mask.sum() == 0
+    return False
+
+
+def _evaluate_sharded(annotation: Dict, metrics: List[str],
+                      src_image_folder: str, tgt_image_folders: Dict[str, str],
+                      result_path: str, edit_category_list: List[str],
+                      calc, batch_size: Optional[int]) -> None:
+    """Batched dp-sharded evaluation (same CSV contract as the serial path)."""
+    from pnpinversion_tpu.evaluation.sharded import ShardedEvaluator
+
+    ev = ShardedEvaluator(calc)
+    if batch_size is None:
+        batch_size = ev.mesh.devices.size
+
+    items = [(k, it) for k, it in annotation.items()
+             if it["editing_type_id"] in edit_category_list]
+    loaded = []
+    for key, item in items:
+        mask = mask_decode(item["mask"])[:, :, np.newaxis].repeat(3, axis=2)
+        src = np.array(Image.open(
+            os.path.join(src_image_folder, item["image_path"])))
+        loaded.append((key, item, src, mask))
+
+    results: Dict[tuple, object] = {}
+    for fkey, folder in tgt_image_folders.items():
+        for lo in range(0, len(loaded), batch_size):
+            chunk = loaded[lo : lo + batch_size]
+            tgts = [np.array(crop_edit_panel(Image.open(
+                os.path.join(folder, it["image_path"]))))
+                for _, it, _, _ in chunk]
+            out = ev.evaluate_batch(
+                metrics,
+                np.stack([s for _, _, s, _ in chunk]), np.stack(tgts),
+                np.stack([m for _, _, _, m in chunk]),
+                [it["original_prompt"].replace("[", "").replace("]", "")
+                 for _, it, _, _ in chunk],
+                [it["editing_prompt"].replace("[", "").replace("]", "")
+                 for _, it, _, _ in chunk])
+            for i, (key, _, _, mask) in enumerate(chunk):
+                for m in metrics:
+                    results[(key, fkey, m)] = (
+                        "nan" if _nan_sentinel(m, mask) else float(out[m][i]))
+
+    with open(result_path, "a+", newline="") as f:
+        w = csv.writer(f)
+        for key, _ in items:
+            w.writerow([key] + [results[(key, fkey, m)]
+                                for fkey in tgt_image_folders for m in metrics])
+
+
 def evaluate(annotation_mapping_file: str, metrics: List[str],
              src_image_folder: str, tgt_image_folders: Dict[str, str],
              result_path: str, edit_category_list: List[str],
-             calc=None) -> None:
+             calc=None, sharded: bool = False,
+             batch_size: Optional[int] = None) -> None:
     if calc is None:
         from pnpinversion_tpu.evaluation.calculator import MetricsCalculator
 
@@ -128,6 +185,17 @@ def evaluate(annotation_mapping_file: str, metrics: List[str],
 
     with open(annotation_mapping_file) as f:
         annotation = json.load(f)
+
+    if sharded:
+        from pnpinversion_tpu.evaluation.sharded import SUPPORTED
+
+        if not all(m in SUPPORTED for m in metrics):
+            raise ValueError("--sharded supports only device metrics "
+                             f"({SUPPORTED}); drop the flag for others")
+        _evaluate_sharded(annotation, metrics, src_image_folder,
+                          tgt_image_folders, result_path, edit_category_list,
+                          calc, batch_size)
+        return
 
     for key, item in annotation.items():
         if item["editing_type_id"] not in edit_category_list:
@@ -162,6 +230,10 @@ def main():
     parser.add_argument("--edit_category_list", nargs="+", type=str,
                         default=[str(i) for i in range(10)])
     parser.add_argument("--evaluate_whole_table", action="store_true")
+    parser.add_argument("--sharded", action="store_true",
+                        help="batch the metric stack over images and shard "
+                             "across the device mesh")
+    parser.add_argument("--batch_size", type=int, default=None)
     args = parser.parse_args()
 
     registry = all_tgt_image_folders(args.output_root)
@@ -178,7 +250,8 @@ def main():
 
     calc = MetricsCalculator(checkpoint_dir=args.checkpoint_dir)
     evaluate(args.annotation_mapping_file, args.metrics, args.src_image_folder,
-             folders, args.result_path, args.edit_category_list, calc)
+             folders, args.result_path, args.edit_category_list, calc,
+             sharded=args.sharded, batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -76,13 +76,21 @@ class BatchedDirectInversionP2P:
     """
 
     VARIANTS = ("directinversion+p2p", "ddim+p2p",
-                "negative-prompt-inversion+p2p", "null-text-inversion+p2p")
+                "negative-prompt-inversion+p2p", "null-text-inversion+p2p",
+                "negative-prompt-inversion+proximal-guidance",
+                "null-text-inversion+proximal-guidance")
 
     def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
-                 num_inner_steps: int = 10):
+                 num_inner_steps: int = 10, proximal: str = "l0",
+                 quantile: float = 0.75, recon_lr: float = 1.0,
+                 recon_t: int = 400, dilate_mask: int = 1):
         self.pipe = pipe
         self.mesh = mesh if mesh is not None else make_dp_mesh()
         self.num_inner_steps = num_inner_steps  # null-text Adam inner steps
+        # ProxEdit statics (benchmark values, run_editing_p2p.py:133-138:
+        # proximal=l0, quantile=.75, use_inversion_guidance, recon_lr=1,
+        # recon_t=400)
+        self.prox = (proximal, quantile, recon_lr, recon_t, dilate_mask)
         self._cache: Dict[Any, Any] = {}
 
     def _sharding(self):
@@ -95,18 +103,21 @@ class BatchedDirectInversionP2P:
         key = (spec, method)
         if key in self._cache:
             return self._cache[key]
+        from pnpinversion_tpu.control.base import NO_CONTROL
         from pnpinversion_tpu.inversion.ddim_inversion import (
             null_text_optimization,
         )
         from pnpinversion_tpu.sampling.p2p_forward import (
             fused_direct_inversion_edit,
             guidance_forward,
+            proximal_guidance_forward,
         )
 
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
         control = P2PControl(spec)
         inner = self.num_inner_steps
+        prox, quantile, recon_lr, recon_t, dilate = self.prox
 
         def one_image(params, image_u8, cond, uncond2, g, tensors):
             """image_u8 (H,W,3); cond/uncond2 (2,77,D); tensors per-image
@@ -115,7 +126,29 @@ class BatchedDirectInversionP2P:
             vae_p, unet_p = params["vae"], params["unet"]
             latent = image_to_latent(vae_p, image_u8, vcfg, dtype=pipe.dtype)
             traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
-            if method == "null-text-inversion+p2p":
+            if method.endswith("proximal-guidance"):
+                # ProxEdit: the shrunk CFG delta makes the edit pass's source
+                # row diverge from a plain replay, so the recon pass is a
+                # separate batch-1 scan (editor edit_*_proximal phases)
+                if method.startswith("null-text"):
+                    unc = null_text_optimization(
+                        unet_p, sched, traj, uncond2[:1], cond[:1], g, ucfg,
+                        num_inner_steps=inner)
+                    unc_r = unc
+                else:
+                    unc, unc_r = uncond2, uncond2[:1]
+                recon_lat = proximal_guidance_forward(
+                    unet_p, sched, ucfg, traj[-1], cond[:1], unc_r, g,
+                    NO_CONTROL, None, edit_stage=False, prox=None,
+                    quantile=quantile, recon_lr=recon_lr, recon_t=recon_t,
+                    dilate_mask=dilate)
+                rows = proximal_guidance_forward(
+                    unet_p, sched, ucfg, traj[-1], cond, unc, g, control,
+                    tensors, edit_stage=True, prox=prox, quantile=quantile,
+                    recon_lr=recon_lr, recon_t=recon_t,
+                    inversion_guidance=True, x_stars=traj,
+                    dilate_mask=dilate)
+            elif method == "null-text-inversion+p2p":
                 uncond_steps = null_text_optimization(
                     unet_p, sched, traj, uncond2[:1], cond[:1], g, ucfg,
                     num_inner_steps=inner)

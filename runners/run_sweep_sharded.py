@@ -46,6 +46,8 @@ from pnpinversion_tpu.utils.observability import RunLogger
 
 METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
            "null-text-inversion+p2p",
+           "negative-prompt-inversion+proximal-guidance",
+           "null-text-inversion+proximal-guidance",
            "directinversion+masactrl", "ddim+masactrl",
            "directinversion+pnp", "ddim+pnp", "edit-friendly-inversion+p2p",
            "blended-latent-diffusion", "edict+direct_forward", "edict+p2p",
@@ -97,7 +99,7 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
                 [e["item"].source_prompt, e["item"].target_prompt]))
                 for e in chunk]
             cond, _ = pad_batch(conds, batch)
-            if method == "negative-prompt-inversion+p2p":
+            if method.startswith("negative-prompt-inversion"):
                 # fake uncond = source cond, both rows (npi_interp=0,
                 # run_editing_p2p.py:335)
                 uncond_b = np.stack([np.stack([c[0], c[0]]) for c in cond])

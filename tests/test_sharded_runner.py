@@ -94,7 +94,9 @@ def test_batched_masactrl_matches_editor():
 
 
 @pytest.mark.parametrize("method", ["ddim+p2p", "negative-prompt-inversion+p2p",
-                                    "null-text-inversion+p2p"])
+                                    "null-text-inversion+p2p",
+                                    "negative-prompt-inversion+proximal-guidance",
+                                    "null-text-inversion+proximal-guidance"])
 def test_batched_p2p_variants_match_editor(method):
     """Batched inversion-variant paths == per-image editor panels.
 
@@ -117,10 +119,19 @@ def test_batched_p2p_variants_match_editor(method):
     src, tar = "a cat on a mat", "a dog on a mat"
 
     editor = P2PEditor(pipe)
+    prox_kw = dict(proximal="l0", quantile=0.75, use_inversion_guidance=True,
+                   recon_lr=1, recon_t=400)
     fn = {"ddim+p2p": editor.edit_ddim,
           "negative-prompt-inversion+p2p": editor.edit_negative_prompt,
-          "null-text-inversion+p2p": editor.edit_null_text}[method]
-    kw = {"null-text-inversion+p2p": {"num_inner_steps": 3}}.get(method, {})
+          "null-text-inversion+p2p": editor.edit_null_text,
+          "negative-prompt-inversion+proximal-guidance":
+              editor.edit_negative_prompt,
+          "null-text-inversion+proximal-guidance":
+              editor.edit_null_text_proximal}[method]
+    kw = {"null-text-inversion+p2p": {"num_inner_steps": 3},
+          "negative-prompt-inversion+proximal-guidance": prox_kw,
+          "null-text-inversion+proximal-guidance":
+              dict(prox_kw, num_inner_steps=3)}.get(method, {})
     ref_panels = [np.asarray(fn(imgs[i], src, tar, **kw))[:, 2 * size:]
                   for i in range(2)]
 
@@ -131,7 +142,7 @@ def test_batched_p2p_variants_match_editor(method):
         lb_res=pipe.lb_res, latent_size=pipe.latent_size)
     sweep = BatchedDirectInversionP2P(pipe, make_dp_mesh(2), num_inner_steps=3)
     cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
-    if method == "negative-prompt-inversion+p2p":
+    if method.startswith("negative-prompt-inversion"):
         uncond_b = np.stack([np.stack([c[0], c[0]]) for c in cond])
     else:
         uncond_b = np.stack([np.asarray(pipe.encode_prompt(["", ""]))] * 2)
@@ -285,6 +296,8 @@ def test_sharded_sweep_stylediffusion(mini_dataset, tmp_path, monkeypatch):
 
 @pytest.mark.parametrize("method", ["ddim+p2p", "negative-prompt-inversion+p2p",
                                     "null-text-inversion+p2p",
+                                    "negative-prompt-inversion+proximal-guidance",
+                                    "null-text-inversion+proximal-guidance",
                                     "directinversion+masactrl", "ddim+masactrl",
                                     "directinversion+pnp", "ddim+pnp",
                                     "edit-friendly-inversion+p2p",
