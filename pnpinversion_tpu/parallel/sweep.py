@@ -80,6 +80,13 @@ class BatchedDirectInversionP2P:
                 "negative-prompt-inversion+proximal-guidance",
                 "null-text-inversion+proximal-guidance")
 
+    @classmethod
+    def supports(cls, method: str) -> bool:
+        """True for the fixed variants plus the group-3 guidance grid
+        (directinversion+p2p_guidance_<inv>_<fwd>, p2p_editor.py:270-277)."""
+        return (method in cls.VARIANTS
+                or method.startswith("directinversion+p2p_guidance_"))
+
     def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
                  num_inner_steps: int = 10, proximal: str = "l0",
                  quantile: float = 0.75, recon_lr: float = 1.0,
@@ -118,6 +125,11 @@ class BatchedDirectInversionP2P:
         control = P2PControl(spec)
         inner = self.num_inner_steps
         prox, quantile, recon_lr, recon_t, dilate = self.prox
+        inv_g = None
+        if method.startswith("directinversion+p2p_guidance_"):
+            from pnpinversion_tpu.editors.p2p_editor import GUIDANCE_GRID
+
+            inv_g = GUIDANCE_GRID[method.split("_")[-2]]
 
         def one_image(params, image_u8, cond, uncond2, g, tensors):
             """image_u8 (H,W,3); cond/uncond2 (2,77,D); tensors per-image
@@ -125,7 +137,16 @@ class BatchedDirectInversionP2P:
             exact-reconstruction shortcut (recon = decode(traj[0]))."""
             vae_p, unet_p = params["vae"], params["unet"]
             latent = image_to_latent(vae_p, image_u8, vcfg, dtype=pipe.dtype)
-            traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
+            if inv_g is not None:
+                from pnpinversion_tpu.inversion.ddim_inversion import (
+                    ddim_invert_loop_cfg,
+                )
+
+                traj = ddim_invert_loop_cfg(
+                    unet_p, sched, latent, uncond2[:1], cond[:1],
+                    jnp.asarray(inv_g, pipe.dtype), ucfg)
+            else:
+                traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
             if method.endswith("proximal-guidance"):
                 # ProxEdit: the shrunk CFG delta makes the edit pass's source
                 # row diverge from a plain replay, so the recon pass is a
@@ -157,15 +178,14 @@ class BatchedDirectInversionP2P:
                     control, tensors)
                 recon_lat = rows[:1]
             else:
-                row_mask = (jnp.array([1.0, 0.0], pipe.dtype)
-                            if method == "directinversion+p2p"
+                is_direct = method.startswith("directinversion+p2p")
+                row_mask = (jnp.array([1.0, 0.0], pipe.dtype) if is_direct
                             else jnp.zeros((2,), pipe.dtype))
                 gate = jnp.ones((sched.num_steps,), pipe.dtype)
                 rows = fused_direct_inversion_edit(
                     unet_p, sched, ucfg, traj, cond, uncond2, g, control,
                     tensors, row_mask, gate)
-                recon_lat = (traj[0] if method == "directinversion+p2p"
-                             else rows[:1])
+                recon_lat = traj[0] if is_direct else rows[:1]
             recon_img = latent_to_image(vae_p, recon_lat, vcfg)[0]
             edit_img = latent_to_image(vae_p, rows[-1:], vcfg)[0]
             return recon_img, edit_img

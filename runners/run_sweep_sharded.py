@@ -53,7 +53,9 @@ METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
            "blended-latent-diffusion", "edict+direct_forward", "edict+p2p",
            "instruct-pix2pix", "instruct-diffusion",
            "ddim+pix2pix-zero", "directinversion+pix2pix-zero",
-           "stylediffusion+p2p"]
+           "stylediffusion+p2p"] + [
+           f"directinversion+p2p_guidance_{a}_{b}"  # group-3 guidance grid
+           for a in ("0", "1", "25", "5", "75") for b in ("1", "5", "25", "75")]
 
 # reference output-folder names that differ from the method string
 # (run_editing_stylediffusion.py preserves this typo)
@@ -108,9 +110,14 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
             tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
                 batch - n_real)
             tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            g = 7.5
+            if method.startswith("directinversion+p2p_guidance_"):
+                from pnpinversion_tpu.editors.p2p_editor import GUIDANCE_GRID
+
+                g = GUIDANCE_GRID[method.split("_")[-1]]
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(cond),
-                jnp.asarray(uncond_b), 7.5, tensors_b, method=method)
+                jnp.asarray(uncond_b), g, tensors_b, method=method)
             _save_strips(chunk, images, recon, edit, size, logger, method)
 
 
@@ -417,7 +424,7 @@ def main(argv=None):
         return
 
     batch = n_dev * args.batch_per_device
-    if method in BatchedDirectInversionP2P.VARIANTS:
+    if BatchedDirectInversionP2P.supports(method):
         _sweep_p2p(pipe, mesh, pending, batch, size, logger, method)
     elif method.endswith("masactrl"):
         _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)

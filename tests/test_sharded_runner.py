@@ -221,6 +221,47 @@ def test_batched_ef_matches_editor():
         assert diff.max() <= 2, diff.max()
 
 
+def test_batched_guidance_grid_matches_editor():
+    """Group-3 guidance-grid variant through the batched path == editor
+    (CFG inversion at the grid's inverse scale, edit at the forward scale)."""
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedDirectInversionP2P,
+        make_dp_mesh,
+    )
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(17), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(13)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+
+    editor = P2PEditor(pipe)
+    ref_panels = [np.asarray(editor("directinversion+p2p_guidance_1_5",
+                                    imgs[i], src, tar))[:, 2 * size:]
+                  for i in range(2)]
+
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=4,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    sweep = BatchedDirectInversionP2P(pipe, make_dp_mesh(2))
+    cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    uncond_b = np.stack([np.asarray(pipe.encode_prompt(["", ""]))] * 2)
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+    recon, edit = sweep.edit_batch(
+        ctrl.spec, np.asarray(imgs), jnp.asarray(cond), jnp.asarray(uncond_b),
+        5.0, tb, method="directinversion+p2p_guidance_1_5")
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
 def test_batched_stylediffusion_matches_editor():
     """Batched StyleDiffusion path == per-image editor panels (the mapper
     training itself runs vmapped/dp-sharded)."""
@@ -298,6 +339,7 @@ def test_sharded_sweep_stylediffusion(mini_dataset, tmp_path, monkeypatch):
                                     "null-text-inversion+p2p",
                                     "negative-prompt-inversion+proximal-guidance",
                                     "null-text-inversion+proximal-guidance",
+                                    "directinversion+p2p_guidance_75_25",
                                     "directinversion+masactrl", "ddim+masactrl",
                                     "directinversion+pnp", "ddim+pnp",
                                     "edit-friendly-inversion+p2p",
