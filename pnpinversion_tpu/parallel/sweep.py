@@ -80,12 +80,21 @@ class BatchedDirectInversionP2P:
                 "negative-prompt-inversion+proximal-guidance",
                 "null-text-inversion+proximal-guidance")
 
+    ABLATIONS = ("ablation_directinversion_04+p2p",
+                 "ablation_directinversion_08+p2p",
+                 "ablation_directinversion_add-source+p2p",
+                 "ablation_directinversion_add-target+p2p",
+                 "ablation_null-latent-inversion+p2p",
+                 "ablation_null-text-inversion_single_branch+p2p")
+
     @classmethod
     def supports(cls, method: str) -> bool:
         """True for the fixed variants plus the group-3 guidance grid
-        (directinversion+p2p_guidance_<inv>_<fwd>, p2p_editor.py:270-277)."""
-        return (method in cls.VARIANTS
-                or method.startswith("directinversion+p2p_guidance_"))
+        (directinversion+p2p_guidance_<inv>_<fwd>, p2p_editor.py:270-277)
+        and the group 5-8 ablations (incl. interval_<k>)."""
+        return (method in cls.VARIANTS or method in cls.ABLATIONS
+                or method.startswith("directinversion+p2p_guidance_")
+                or method.startswith("ablation_directinversion_interval_"))
 
     def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
                  num_inner_steps: int = 10, proximal: str = "l0",
@@ -112,11 +121,15 @@ class BatchedDirectInversionP2P:
             return self._cache[key]
         from pnpinversion_tpu.control.base import NO_CONTROL
         from pnpinversion_tpu.inversion.ddim_inversion import (
+            direct_inversion_offsets,
+            make_step_gate,
+            null_latent_offsets,
             null_text_optimization,
         )
         from pnpinversion_tpu.sampling.p2p_forward import (
             fused_direct_inversion_edit,
             guidance_forward,
+            guidance_forward_single_branch,
             proximal_guidance_forward,
         )
 
@@ -147,7 +160,51 @@ class BatchedDirectInversionP2P:
                     jnp.asarray(inv_g, pipe.dtype), ucfg)
             else:
                 traj = ddim_invert_loop(unet_p, sched, latent, cond[:1], ucfg)
-            if method.endswith("proximal-guidance"):
+            if method.startswith("ablation_"):
+                # groups 5-8: explicit offsets replay + controlled edit scan
+                # (editor edit_direct_inversion slow path / edit_null_latent /
+                # edit_null_text single_branch). The controller never touches
+                # row 0, so the edit scan's row 0 IS the recon pass.
+                T = sched.num_steps
+                if method == "ablation_null-text-inversion_single_branch+p2p":
+                    uncond_steps = null_text_optimization(
+                        unet_p, sched, traj, uncond2[:1], cond[:1], g, ucfg,
+                        num_inner_steps=inner)
+                    rows = guidance_forward_single_branch(
+                        unet_p, sched, ucfg, traj[-1], cond, uncond_steps,
+                        uncond2, g, control, tensors)
+                else:
+                    ctx = jnp.concatenate([uncond2, cond], axis=0)
+                    if method == "ablation_null-latent-inversion+p2p":
+                        noise_loss = null_latent_offsets(
+                            unet_p, sched, traj, ctx, g, ucfg,
+                            num_inner_steps=inner)
+                        row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+                    else:
+                        scale, skip = 1.0, 1
+                        if method.startswith("ablation_directinversion_interval_"):
+                            skip = int(method.split("+")[0].split("_")[-1])
+                        elif method in ("ablation_directinversion_04+p2p",
+                                        "ablation_directinversion_08+p2p"):
+                            scale = float(
+                                method.split("+")[0].split("_")[-1]) / 10
+                        gate = make_step_gate(T, scale, skip, pipe.dtype)
+                        noise_loss, _ = direct_inversion_offsets(
+                            unet_p, sched, traj, ctx, g, ucfg, gate)
+                        if method == "ablation_directinversion_add-source+p2p":
+                            # source offsets applied to both rows (:930-933)
+                            noise_loss = jnp.broadcast_to(
+                                noise_loss[:, :1], noise_loss.shape)
+                            row_mask = jnp.array([1.0, 1.0], pipe.dtype)
+                        elif method == "ablation_directinversion_add-target+p2p":
+                            row_mask = jnp.array([1.0, 1.0], pipe.dtype)
+                        else:
+                            row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+                    rows = guidance_forward(
+                        unet_p, sched, ucfg, traj[-1], cond, uncond2, g,
+                        control, tensors, noise_loss, row_mask)
+                recon_lat = rows[:1]
+            elif method.endswith("proximal-guidance"):
                 # ProxEdit: the shrunk CFG delta makes the edit pass's source
                 # row diverge from a plain replay, so the recon pass is a
                 # separate batch-1 scan (editor edit_*_proximal phases)

@@ -55,7 +55,14 @@ METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
            "ddim+pix2pix-zero", "directinversion+pix2pix-zero",
            "stylediffusion+p2p"] + [
            f"directinversion+p2p_guidance_{a}_{b}"  # group-3 guidance grid
-           for a in ("0", "1", "25", "5", "75") for b in ("1", "5", "25", "75")]
+           for a in ("0", "1", "25", "5", "75") for b in ("1", "5", "25", "75")
+           ] + [  # group 5-8 ablations
+           "ablation_directinversion_04+p2p", "ablation_directinversion_08+p2p",
+           "ablation_directinversion_add-source+p2p",
+           "ablation_directinversion_add-target+p2p",
+           "ablation_null-latent-inversion+p2p",
+           "ablation_null-text-inversion_single_branch+p2p"] + [
+           f"ablation_directinversion_interval_{k}+p2p" for k in (2, 5, 10, 24, 49)]
 
 # reference output-folder names that differ from the method string
 # (run_editing_stylediffusion.py preserves this typo)

@@ -221,6 +221,53 @@ def test_batched_ef_matches_editor():
         assert diff.max() <= 2, diff.max()
 
 
+@pytest.mark.parametrize("method", [
+    "ablation_directinversion_08+p2p",
+    "ablation_directinversion_interval_2+p2p",
+    "ablation_directinversion_add-source+p2p",
+    "ablation_directinversion_add-target+p2p",
+    "ablation_null-latent-inversion+p2p",
+    "ablation_null-text-inversion_single_branch+p2p"])
+def test_batched_ablations_match_editor(method):
+    """Group 5-8 ablation variants through the batched path == the per-image
+    editor (explicit offsets replay + controlled edit; recon = edit row 0)."""
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedDirectInversionP2P,
+        make_dp_mesh,
+    )
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(19), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(23)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+
+    editor = P2PEditor(pipe)
+    ref_panels = [np.asarray(editor(method, imgs[i], src, tar))[:, 2 * size:]
+                  for i in range(2)]
+
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=4,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    sweep = BatchedDirectInversionP2P(pipe, make_dp_mesh(2))
+    cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    uncond_b = np.stack([np.asarray(pipe.encode_prompt(["", ""]))] * 2)
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+    recon, edit = sweep.edit_batch(
+        ctrl.spec, np.asarray(imgs), jnp.asarray(cond), jnp.asarray(uncond_b),
+        7.5, tb, method=method)
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, (method, diff.max())
+
+
 def test_batched_guidance_grid_matches_editor():
     """Group-3 guidance-grid variant through the batched path == editor
     (CFG inversion at the grid's inverse scale, edit at the forward scale)."""
