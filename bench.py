@@ -39,11 +39,14 @@ STEPS = 50
 
 
 def main():
-    # persistent compile cache (first run pays ~minutes of compiles)
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache on CPU only: on the tunneled TPU backend a
+    # cache hit re-uploads the serialized executable (>100MB) through the
+    # tunnel, which measures slower than the server-side remote compile
+    if jax.default_backend() == "cpu":
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pnpinversion_tpu.configs import SD14
     from pnpinversion_tpu.control.p2p import make_p2p_control

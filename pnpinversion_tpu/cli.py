@@ -17,11 +17,18 @@ from pnpinversion_tpu.data.pie_bench import PieBenchDataset
 
 
 def setup_compile_cache() -> None:
-    """Persistent XLA compile cache (same location as tests/bench). On this
-    class of box a cold 512px pipeline compile costs minutes of single-core
-    CPU; the cache makes every later runner invocation start warm."""
+    """Persistent XLA compile cache for CPU (tests / tiny-config drives),
+    where a cold 512px compile costs minutes of single-core CPU.
+
+    NOT enabled for the tunneled TPU backend: there compilation happens
+    server-side (a fresh 512px text-encoder compile measures ~4s), while a
+    persistent-cache HIT must ship the serialized executable (>100MB for
+    the fused sweep scans) back through the tunnel — measured 2-20 minutes,
+    i.e. strictly slower than just recompiling remotely."""
     import jax
 
+    if jax.default_backend() != "cpu":
+        return
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
     os.makedirs(cache, exist_ok=True)
@@ -30,6 +37,10 @@ def setup_compile_cache() -> None:
 
 
 def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParser:
+    # every runner builds its parser first thing, so hook the compile cache
+    # here: run_sweep_sharded has its own main loop and previously never
+    # enabled the cache, recompiling the full 512px pipeline every invocation
+    setup_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--rerun_exist_images", action="store_true")
     p.add_argument("--data_path", type=str, default="data")

@@ -45,23 +45,35 @@ class SDPipeline:
         dtype=jnp.float32,
     ) -> "SDPipeline":
         """Random-weight pipeline, or load a converted checkpoint when given."""
+        def _cast(p):
+            if dtype == jnp.float32:
+                return p
+            return jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                p,
+            )
+
         if checkpoint_dir is not None:
             from pnpinversion_tpu.convert.checkpoint import load_pipeline_params
 
             params, tokenizer = load_pipeline_params(checkpoint_dir, config, tokenizer)
+            params = _cast(params)
         else:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            k1, k2, k3 = jax.random.split(rng, 3)
-            params = {
-                "unet": init_unet_params(k1, config.unet),
-                "vae": init_vae_params(k2, config.vae),
-                "text": init_clip_text_params(k3, config.text),
-            }
-        if dtype != jnp.float32:
-            params = jax.tree.map(
-                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                params,
-            )
+
+            # ONE jitted dispatch for the whole random init: the naive path
+            # issues hundreds of small per-leaf RNG ops, which on a
+            # high-latency TPU tunnel costs minutes of round trips (and the
+            # single fused executable lands in the persistent compile cache)
+            def _init(key):
+                k1, k2, k3 = jax.random.split(key, 3)
+                return _cast({
+                    "unet": init_unet_params(k1, config.unet),
+                    "vae": init_vae_params(k2, config.vae),
+                    "text": init_clip_text_params(k3, config.text),
+                })
+
+            params = jax.jit(_init)(rng)
         tokenizer = tokenizer or default_tokenizer()
         schedule = make_ddim_schedule(num_steps=num_ddim_steps)
         return cls(config=config, params=params, tokenizer=tokenizer,
@@ -83,9 +95,12 @@ class SDPipeline:
     @functools.cached_property
     def _encode_ids(self):
         cfg = self.config.text
-        return jax.jit(
-            lambda ids: clip_text_apply(self.params["text"], ids, cfg, dtype=self.dtype)
-        )
+        # params must be an ARGUMENT, not a closure capture: captured params
+        # become jit constants, which bloats the compile (the executable
+        # embeds all 123M text weights) and defeats the persistent compile
+        # cache (every fresh random init is a different constant -> miss)
+        f = jax.jit(lambda p, ids: clip_text_apply(p, ids, cfg, dtype=self.dtype))
+        return lambda ids: f(self.params["text"], ids)
 
     # -------------------------------------------------------------- misc meta
     @property
