@@ -69,6 +69,16 @@ METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
 FOLDERS = {"stylediffusion+p2p": "styleidffusion+p2p"}
 
 
+def _encode_chunk(pipe, chunk, fields):
+    """One batched text-encode dispatch per chunk (vs per item — each call
+    pays a tunnel round trip): fields maps item -> list of prompt strings.
+    Returns (N, rows, 77, D) numpy."""
+    texts = [t for e in chunk for t in fields(e["item"])]
+    rows = len(fields(chunk[0]["item"]))
+    embs = np.asarray(pipe.encode_prompt(texts))
+    return embs.reshape(len(chunk), rows, *embs.shape[1:])
+
+
 def _save_strips(chunk, images, recon, edit, size, logger, method):
     recon, edit = np.asarray(recon), np.asarray(edit)
     for i, e in enumerate(chunk):
@@ -104,9 +114,8 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
             chunk = group[lo : lo + batch]
             images = [load_image(e["item"].image_path, size) for e in chunk]
             imgs, n_real = pad_batch(images, batch)
-            conds = [np.asarray(pipe.encode_prompt(
-                [e["item"].source_prompt, e["item"].target_prompt]))
-                for e in chunk]
+            conds = list(_encode_chunk(
+                pipe, chunk, lambda it: [it.source_prompt, it.target_prompt]))
             cond, _ = pad_batch(conds, batch)
             if method.startswith("negative-prompt-inversion"):
                 # fake uncond = source cond, both rows (npi_interp=0,
@@ -135,8 +144,8 @@ def _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method):
         chunk = pending[lo : lo + batch]
         images = [load_image(e["item"].image_path, size) for e in chunk]
         imgs, _ = pad_batch(images, batch)
-        conds = [np.asarray(pipe.encode_prompt(["", e["item"].target_prompt]))
-                 for e in chunk]
+        conds = list(_encode_chunk(pipe, chunk,
+                                   lambda it: ["", it.target_prompt]))
         cond, _ = pad_batch(conds, batch)
         recon, edit = sweep.edit_batch(use_offsets, jnp.asarray(imgs),
                                        jnp.asarray(cond), 7.5)
@@ -149,12 +158,10 @@ def _sweep_pnp(pipe, mesh, pending, batch, size, logger, method):
         chunk = pending[lo : lo + batch]
         images = [load_image(e["item"].image_path, size) for e in chunk]
         imgs, _ = pad_batch(images, batch)
-        srcs = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
-                for e in chunk]
-        tars = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
-                for e in chunk]
-        cond_src, _ = pad_batch(srcs, batch)
-        cond_tar, _ = pad_batch(tars, batch)
+        both = _encode_chunk(pipe, chunk,
+                             lambda it: [it.source_prompt, it.target_prompt])
+        cond_src, _ = pad_batch(list(both[:, :1]), batch)
+        cond_tar, _ = pad_batch(list(both[:, 1:]), batch)
         recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
                                        jnp.asarray(cond_src),
                                        jnp.asarray(cond_tar), 7.5)
@@ -179,9 +186,8 @@ def _sweep_ef(pipe, mesh, pending, batch, size, logger):
             chunk = group[lo : lo + batch]
             images = [load_image(e["item"].image_path, size) for e in chunk]
             imgs, n_real = pad_batch(images, batch)
-            conds = [np.asarray(pipe.encode_prompt(
-                [e["item"].source_prompt, e["item"].target_prompt]))
-                for e in chunk]
+            conds = list(_encode_chunk(
+                pipe, chunk, lambda it: [it.source_prompt, it.target_prompt]))
             cond, _ = pad_batch(conds, batch)
             tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
                 batch - n_real)
@@ -213,8 +219,8 @@ def _sweep_bld(pipe, mesh, pending, batch, size, logger):
                 (lat, lat), PILImage.NEAREST)
             masks.append((np.array(m) >= 0.5).astype(np.float32)[..., None])
         masks_b, _ = pad_batch(masks, batch)
-        conds = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
-                 for e in chunk]
+        conds = list(_encode_chunk(pipe, chunk,
+                                   lambda it: [it.target_prompt]))
         cond, _ = pad_batch(conds, batch)
         edit = sweep.edit_batch(jnp.asarray(imgs), masks_b, jnp.asarray(cond))
         zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
@@ -230,12 +236,10 @@ def _sweep_edict(pipe, mesh, pending, batch, size, logger, method):
         chunk = pending[lo : lo + batch]
         images = [load_image(e["item"].image_path, size) for e in chunk]
         imgs, n_real = pad_batch(images, batch)
-        srcs = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
-                for e in chunk]
-        tars = [np.asarray(pipe.encode_prompt([e["item"].target_prompt]))
-                for e in chunk]
-        cond_src, _ = pad_batch(srcs, batch)
-        cond_tar, _ = pad_batch(tars, batch)
+        both = _encode_chunk(pipe, chunk,
+                             lambda it: [it.source_prompt, it.target_prompt])
+        cond_src, _ = pad_batch(list(both[:, :1]), batch)
+        cond_tar, _ = pad_batch(list(both[:, 1:]), batch)
         tensors_b = None
         if use_p2p:
             tl = [make_edict_p2p_tensors(e["item"].source_prompt,
@@ -263,8 +267,8 @@ def _sweep_instruct(pipe, mesh, pending, batch, size, logger, method):
                            .resize((size, size), PILImage.Resampling.LANCZOS))
                   for e in chunk]
         imgs, _ = pad_batch(images, batch)
-        conds = [np.asarray(pipe.encode_prompt([e["item"].editing_instruction]))
-                 for e in chunk]
+        conds = list(_encode_chunk(pipe, chunk,
+                                   lambda it: [it.editing_instruction]))
         cond, _ = pad_batch(conds, batch)
         edit = sweep.edit_batch(method, jnp.asarray(imgs), jnp.asarray(cond))
         zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
@@ -350,13 +354,10 @@ def _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger,
             chunk = group[lo : lo + batch]
             images = [load_image(e["item"].image_path, size) for e in chunk]
             imgs, n_real = pad_batch(images, batch)
-            cond_src = [np.asarray(pipe.encode_prompt([e["item"].source_prompt]))
-                        for e in chunk]
-            cond2 = [np.asarray(pipe.encode_prompt(
-                [e["item"].source_prompt, e["item"].target_prompt]))
-                for e in chunk]
-            csrc, _ = pad_batch(cond_src, batch)
-            c2, _ = pad_batch(cond2, batch)
+            both = _encode_chunk(
+                pipe, chunk, lambda it: [it.source_prompt, it.target_prompt])
+            csrc, _ = pad_batch(list(both[:, :1]), batch)
+            c2, _ = pad_batch(list(both), batch)
             tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
                 batch - n_real)
             tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
