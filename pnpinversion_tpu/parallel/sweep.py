@@ -43,6 +43,34 @@ def make_dp_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), ("dp",))
 
 
+def make_dp_tp_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    """(dp, tp) mesh: images shard over dp, UNet matmul output dims over tp
+    (SURVEY.md §2.14's optional tensor parallelism — lowers per-image latency
+    when there are more chips than in-flight images)."""
+    devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    assert len(devs) % tp == 0, (len(devs), tp)
+    return Mesh(np.array(devs).reshape(len(devs) // tp, tp), ("dp", "tp"))
+
+
+def param_shardings(mesh: Mesh, params):
+    """Tensor-parallel param placement: shard linear kernels' output dim and
+    conv kernels' output-channel dim over ``tp``; everything else replicated
+    (GSPMD propagates the activation shardings + collectives from these)."""
+    if "tp" not in mesh.axis_names or mesh.shape["tp"] == 1:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    tp = mesh.shape["tp"]
+
+    def spec(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd in (2, 4) and leaf.shape[-1] % tp == 0 and leaf.shape[-1] >= 2 * tp:
+            return P(*([None] * (nd - 1) + ["tp"]))
+        return P()
+
+    return jax.tree.map(lambda l: NamedSharding(mesh, spec(l)), params)
+
+
 def group_items_by_spec(items: Sequence[dict], keyfn: Callable[[dict], Any]) -> Dict[Any, List[dict]]:
     groups: Dict[Any, List[dict]] = {}
     for it in items:
@@ -251,7 +279,8 @@ class BatchedDirectInversionP2P:
 
         fn = jax.jit(
             batched,
-            in_shardings=(self._replicated(), self._sharding(), self._sharding(),
+            in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                          self._sharding(), self._sharding(),
                           self._sharding(), self._replicated(), self._sharding()),
             out_shardings=(self._sharding(), self._sharding()),
         )

@@ -376,6 +376,9 @@ def main(argv=None):
                         default="directinversion+p2p")
     parser.add_argument("--batch_per_device", type=int, default=1)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel factor: shard UNet matmul "
+                             "output dims over a (dp, tp) mesh")
     parser.add_argument("--num_processes", type=int, default=None,
                         help="multi-host: total process count")
     parser.add_argument("--process_id", type=int, default=None)
@@ -403,8 +406,14 @@ def main(argv=None):
                              checkpoint_dir=args.checkpoint_dir,
                              dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
                              else jnp.float32)
-    mesh = make_dp_mesh(args.n_devices)
-    n_dev = mesh.devices.size
+    if args.tp > 1:
+        from pnpinversion_tpu.parallel.sweep import make_dp_tp_mesh
+
+        mesh = make_dp_tp_mesh(args.n_devices, args.tp)
+        n_dev = mesh.shape["dp"]  # image batch scales with the dp axis only
+    else:
+        mesh = make_dp_mesh(args.n_devices)
+        n_dev = mesh.devices.size
     logger = RunLogger(args.run_log)
     dataset = PieBenchDataset(args.data_path,
                               mapping_file=getattr(args, "mapping_file", None))

@@ -309,6 +309,44 @@ def test_batched_guidance_grid_matches_editor():
         assert diff.max() <= 2, diff.max()
 
 
+def test_tp_sharded_p2p_matches_dp():
+    """(dp=2, tp=2) tensor-parallel sweep == the plain dp path (same images,
+    UNet matmul output dims sharded over tp; SURVEY §2.14 optional TP)."""
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedDirectInversionP2P,
+        make_dp_mesh,
+        make_dp_tp_mesh,
+    )
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(41), num_ddim_steps=4)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(31)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=4,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    uncond = np.asarray(pipe.encode_prompt(["", ""]))
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+
+    outs = {}
+    for name, mesh in [("dp", make_dp_mesh(2)),
+                       ("tp", make_dp_tp_mesh(4, tp=2))]:
+        sweep = BatchedDirectInversionP2P(pipe, mesh)
+        recon, edit = sweep.edit_batch(
+            ctrl.spec, np.asarray(imgs), jnp.asarray(cond), jnp.asarray(uncond),
+            7.5, tb)
+        outs[name] = (np.asarray(recon), np.asarray(edit))
+    for a, b in zip(outs["dp"], outs["tp"]):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
 def test_batched_stylediffusion_matches_editor():
     """Batched StyleDiffusion path == per-image editor panels (the mapper
     training itself runs vmapped/dp-sharded)."""
