@@ -434,6 +434,18 @@ def main(argv=None):
         if os.path.exists(save_path) and not args.rerun_exist_images:
             logger.log("image_skip", key=item.key, method=method)
             continue
+        # isolate unreadable inputs up front (header-only check): a corrupt
+        # file would otherwise crash every restart of a long sweep at the
+        # same chunk forever (the skip-existing contract can't get past it)
+        try:
+            from PIL import Image as _PILImage
+
+            _PILImage.open(item.image_path).verify()
+        except Exception as exc:  # noqa: BLE001 - log & drop the one item
+            logger.log("image_error", key=item.key, method=method,
+                       error=f"unreadable input: {exc!r}"[:300])
+            print(f"skipping unreadable input [{item.image_path}]: {exc!r}")
+            continue
         pending.append({"item": item, "save_path": save_path})
 
     if not pending:

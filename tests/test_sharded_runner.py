@@ -66,6 +66,34 @@ def test_sharded_sweep_runner(mini_dataset, tmp_path, monkeypatch):
     assert all(p.stat().st_mtime == mtimes[p] for p in produced)
 
 
+def test_sharded_sweep_skips_unreadable_input(mini_dataset, tmp_path, monkeypatch):
+    """A corrupt input image is logged and dropped; the sweep still finishes
+    the readable items (a crash would wedge every restart at the same spot)."""
+    import json as _json
+
+    import runners.run_sweep_sharded as runner
+
+    bad = os.path.join(mini_dataset, "annotation_images", "0_random", "000001.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        runner.SDPipeline, "create",
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+    out = tmp_path / "out"
+    log = tmp_path / "run.jsonl"
+    runner.main([
+        "--data_path", mini_dataset, "--output_path", str(out),
+        "--num_ddim_steps", "4", "--n_devices", "2", "--run_log", str(log),
+    ])
+    produced = sorted((out / "directinversion+p2p" / "annotation_images").rglob("*.jpg"))
+    assert len(produced) == 2  # the two readable items
+    events = [_json.loads(l) for l in open(log)]
+    errs = [e for e in events if e["event"] == "image_error"]
+    assert len(errs) == 1 and errs[0]["key"] == "000001"
+
+
 def test_batched_masactrl_matches_editor():
     """Batched path == per-image editor panels (same math, vmap added)."""
     from pnpinversion_tpu.editors.masactrl_editor import MasaCtrlEditor
