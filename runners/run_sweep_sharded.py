@@ -301,20 +301,22 @@ def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
                            .resize((size, size), PILImage.Resampling.LANCZOS))
                   for e in chunk]
         imgs, _ = pad_batch(images, batch)
-        conds, dirs = [], []
+        caps = []
         for e, img in zip(chunk, images):
-            item = e["item"]
-            cap = captions.get(item.key)
+            cap = captions.get(e["item"].key)
             if cap is None:
                 if captioner is None:
                     raise ValueError(
                         "pix2pix-zero needs captions: pass --caption_file or "
                         "converted BLIP weights via --checkpoint_dir")
                 cap = captioner(img)
-            conds.append(np.asarray(pipe.encode_prompt([cap])))
-            emb_src = np.asarray(pipe.encode_prompt([item.source_prompt]))
-            emb_tar = np.asarray(pipe.encode_prompt([item.target_prompt]))
-            dirs.append((emb_tar - emb_src).mean(axis=0, keepdims=True))
+            caps.append(cap)
+        texts = [t for e, cap in zip(chunk, caps)
+                 for t in (cap, e["item"].source_prompt, e["item"].target_prompt)]
+        embs = np.asarray(pipe.encode_prompt(texts))
+        embs = embs.reshape(len(chunk), 3, *embs.shape[1:])
+        conds = list(embs[:, 0:1])
+        dirs = list(embs[:, 2:3] - embs[:, 1:2])
         cond, _ = pad_batch(conds, batch)
         edit_dir, _ = pad_batch(dirs, batch)
         recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
