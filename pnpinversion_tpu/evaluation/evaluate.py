@@ -70,6 +70,14 @@ def all_tgt_image_folders(output_root: str = "output") -> Dict[str, str]:
         output_root, "null-text-inversion+p2p_a800", "annotation_images")
     reg["4_null-text-inverse+p2p_3090"] = os.path.join(
         output_root, "null-text-inversion+p2p_3090", "annotation_images")
+    # the stylediffusion RUNNER writes its reference-typo folder
+    # ('styleidffusion+p2p', run_editing_stylediffusion.py:203) while the
+    # reference registry reads the canonical name — fall back to the typo
+    # folder when only it exists, so sweep -> evaluate round-trips
+    canon = reg["1_stylediffusion+p2p"]
+    typo = os.path.join(output_root, "styleidffusion+p2p", "annotation_images")
+    if not os.path.isdir(canon) and os.path.isdir(typo):
+        reg["1_stylediffusion+p2p"] = typo
     return reg
 
 

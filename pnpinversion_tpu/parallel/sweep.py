@@ -71,6 +71,18 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree.map(lambda l: NamedSharding(mesh, spec(l)), params)
 
 
+def _cached_embed(obj, prompts, dtype=None):
+    """Encode-once-per-sweep-instance prompt embeddings: constant prompts
+    ("" etc.) must be jit ARGUMENTS (a closure capture bakes them into the
+    executable as constants — see pipeline._encode_ids) but should not pay
+    one text-encoder dispatch per chunk either."""
+    key = ("emb", tuple(prompts), dtype)
+    if key not in obj._cache:
+        e = obj.pipe.encode_prompt(list(prompts))
+        obj._cache[key] = e if dtype is None else e.astype(dtype)
+    return obj._cache[key]
+
+
 def group_items_by_spec(items: Sequence[dict], keyfn: Callable[[dict], Any]) -> Dict[Any, List[dict]]:
     groups: Dict[Any, List[dict]] = {}
     for it in items:
@@ -354,7 +366,8 @@ class BatchedMasaCtrl:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, repl, repl),
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   shard, shard, repl, repl),
                      out_shardings=(shard, shard))
         self._cache[key] = fn
         return fn
@@ -362,7 +375,7 @@ class BatchedMasaCtrl:
     def edit_batch(self, use_offsets: bool, images_u8: Array, cond: Array,
                    guidance_scale: float) -> Tuple[Array, Array]:
         """images_u8 (N,H,W,3); cond (N,2,77,D) rows ["", target]."""
-        uncond = self.pipe.encode_prompt(["", ""])
+        uncond = _cached_embed(self, ["", ""])
         with self.mesh:
             return self._fn(use_offsets)(
                 self.pipe.params, images_u8, cond, uncond,
@@ -418,7 +431,8 @@ class BatchedPix2PixZero:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, shard, repl, repl),
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   shard, shard, shard, repl, repl),
                      out_shardings=(shard, shard))
         self._cache[use_offsets] = fn
         return fn
@@ -461,9 +475,8 @@ class BatchedInstruct:
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
         variant, cfg_text, cfg_image = self.VARIANTS[method]
         steps = self.steps
-        text_uncond = pipe.encode_prompt([""])
 
-        def one_image(params, image_u8, text_cond, ct, ci, rng):
+        def one_image(params, image_u8, text_cond, text_uncond, ct, ci, rng):
             """text_cond (1,77,D) instruction embedding."""
             img01 = image_u8.astype(pipe.dtype) / 127.5 - 1.0
             image_cond = vae_encode(params["vae"], img01[None], vcfg, scale=False)
@@ -472,11 +485,13 @@ class BatchedInstruct:
                                   variant)
             return latent_to_image(params["vae"], lat, vcfg)[0]
 
-        batched = jax.vmap(one_image, in_axes=(None, 0, 0, None, None, None))
+        batched = jax.vmap(one_image,
+                           in_axes=(None, 0, 0, None, None, None, None))
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, repl, repl, repl),
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   shard, shard, repl, repl, repl, repl),
                      out_shardings=shard)
         self._cache[method] = fn
         return fn
@@ -489,6 +504,7 @@ class BatchedInstruct:
         with self.mesh:
             return self._fn(method)(
                 self.pipe.params, images_u8, text_cond,
+                _cached_embed(self, [""]),
                 jnp.asarray(cfg_text if cfg_text is not None else ct0, self.pipe.dtype),
                 jnp.asarray(cfg_image if cfg_image is not None else ci0, self.pipe.dtype),
                 jax.random.PRNGKey(self.seed))
@@ -507,6 +523,7 @@ class BatchedBLD:
         self.blending_percentage = blending_percentage
         self.seed = seed
         self._fn_cache = None
+        self._cache = {}
 
     def _fn(self):
         if self._fn_cache is not None:
@@ -515,9 +532,8 @@ class BatchedBLD:
 
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
-        uncond = pipe.encode_prompt([""])
 
-        def one_image(params, image_u8, latent_mask, cond, g, rng):
+        def one_image(params, image_u8, latent_mask, cond, uncond, g, rng):
             """cond (1,77,D) target prompt; latent_mask (h,w,1)."""
             src = image_to_latent(params["vae"], image_u8, vcfg, dtype=pipe.dtype)
             ctx = jnp.concatenate([uncond, cond], axis=0)
@@ -525,11 +541,14 @@ class BatchedBLD:
                              ctx, g, rng, self.blending_percentage)
             return latent_to_image(params["vae"], lat, vcfg)[0]
 
-        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None, None))
+        batched = jax.vmap(one_image,
+                           in_axes=(None, 0, 0, 0, None, None, None))
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         self._fn_cache = jax.jit(
-            batched, in_shardings=(repl, shard, shard, shard, repl, repl),
+            batched,
+            in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                          shard, shard, shard, repl, repl, repl),
             out_shardings=shard)
         return self._fn_cache
 
@@ -541,6 +560,7 @@ class BatchedBLD:
             return self._fn()(
                 self.pipe.params, images_u8,
                 jnp.asarray(latent_masks, self.pipe.dtype), cond,
+                _cached_embed(self, [""]),
                 jnp.asarray(guidance_scale, self.pipe.dtype),
                 jax.random.PRNGKey(self.seed))
 
@@ -620,7 +640,8 @@ class BatchedEDICT:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, shard, repl, repl,
+                     in_shardings=(param_shardings(self.mesh, self._params_f32),
+                                   shard, shard, shard, repl, repl,
                                    repl, shard),
                      out_shardings=(shard, shard))
         self._cache[use_p2p] = fn
@@ -632,7 +653,7 @@ class BatchedEDICT:
         """images_u8 (N,H,W,3); cond_src/cond_tar (N,1,77,D); tensors: p2p
         tensors pytree with leading N (edict+p2p only)."""
         use_p2p = method == "edict+p2p"
-        uncond = self.pipe.encode_prompt([""]).astype(jnp.float32)
+        uncond = _cached_embed(self, [""], dtype=jnp.float32)
         if tensors is None:
             n = images_u8.shape[0]
             tensors = jnp.zeros((n, 0), jnp.float32)
@@ -700,7 +721,8 @@ class BatchedEditFriendly:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, repl, repl, shard, repl),
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   shard, shard, repl, repl, shard, repl),
                      out_shardings=(shard, shard))
         self._cache[spec] = fn
         return fn
@@ -712,7 +734,7 @@ class BatchedEditFriendly:
         """images_u8 (N,H,W,3); cond (N,2,77,D); tensors pytree with leading N.
         Returns (source_row_imgs, edit_imgs) uint8 — the reference's strip
         uses the edit pass's source row as the reconstruction panel."""
-        uncond = self.pipe.encode_prompt(["", ""])
+        uncond = _cached_embed(self, ["", ""])
         scales = jnp.asarray([source_guidance_scale, target_guidance_scale],
                              self.pipe.dtype)
         with self.mesh:
@@ -748,9 +770,8 @@ class BatchedPnP:
         pipe = self.pipe
         sched, ucfg, vcfg = self.schedule, pipe.config.unet, pipe.config.vae
         control = PnPControl(make_pnp_control(ucfg, sched.num_steps).spec)
-        fixed = pipe.encode_prompt(["", NEGATIVE_PROMPT])  # rows 0-1 of embeds
 
-        def one_image(params, image_u8, cond_src, cond_tar, g):
+        def one_image(params, image_u8, cond_src, cond_tar, fixed, g):
             """cond_src/cond_tar: (1, 77, D)."""
             latent = image_to_latent(params["vae"], image_u8, vcfg,
                                      dtype=pipe.dtype)
@@ -771,11 +792,12 @@ class BatchedPnP:
             edit = latent_to_image(params["vae"], edited, vcfg)[0]
             return recon, edit
 
-        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None))
+        batched = jax.vmap(one_image, in_axes=(None, 0, 0, 0, None, None))
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, shard, shard, shard, repl),
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   shard, shard, shard, repl, repl),
                      out_shardings=(shard, shard))
         self._cache[method] = fn
         return fn
@@ -783,9 +805,12 @@ class BatchedPnP:
     def edit_batch(self, method: str, images_u8: Array, cond_src: Array,
                    cond_tar: Array, guidance_scale: float) -> Tuple[Array, Array]:
         """images_u8 (N,H,W,3); cond_src/cond_tar (N,1,77,D)."""
+        from pnpinversion_tpu.editors.pnp_editor import NEGATIVE_PROMPT
+
         with self.mesh:
             return self._fn(method)(
                 self.pipe.params, images_u8, cond_src, cond_tar,
+                _cached_embed(self, ["", NEGATIVE_PROMPT]),
                 jnp.asarray(guidance_scale, self.pipe.dtype))
 
 
@@ -894,7 +919,9 @@ class BatchedStyleDiffusion:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("dp"))
         fn = jax.jit(batched,
-                     in_shardings=(repl, repl, shard, shard, shard, repl,
+                     in_shardings=(param_shardings(self.mesh, self.pipe.params),
+                                   param_shardings(self.mesh, self.clip_params),
+                                   shard, shard, shard, repl,
                                    repl, repl, shard),
                      out_shardings=(shard, shard))
         self._cache[p2p_spec] = fn
@@ -905,8 +932,8 @@ class BatchedStyleDiffusion:
                    ) -> Tuple[Array, Array]:
         """images_u8 (N,H,W,3); cond_src (N,1,77,D); cond2 (N,2,77,D);
         tensors: p2p tensors pytree with leading N."""
-        uncond1 = self.pipe.encode_prompt([""])
-        uncond2 = self.pipe.encode_prompt(["", ""])
+        uncond1 = _cached_embed(self, [""])
+        uncond2 = _cached_embed(self, ["", ""])
         with self.mesh:
             return self._fn(p2p_spec)(
                 self.pipe.params, self.clip_params, images_u8, cond_src,

@@ -79,6 +79,12 @@ def _encode_chunk(pipe, chunk, fields):
     return embs.reshape(len(chunk), rows, *embs.shape[1:])
 
 
+def _pad_tensors(chunk, batch, n_real):
+    """Stack per-item controller tensors, padding to the batch size."""
+    tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (batch - n_real)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+
+
 def _save_strips(chunk, images, recon, edit, size, logger, method):
     recon, edit = np.asarray(recon), np.asarray(edit)
     for i, e in enumerate(chunk):
@@ -123,9 +129,7 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
                 uncond_b = np.stack([np.stack([c[0], c[0]]) for c in cond])
             else:
                 uncond_b = np.stack([uncond] * len(cond))
-            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
-                batch - n_real)
-            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            tensors_b = _pad_tensors(chunk, batch, n_real)
             g = 7.5
             if method.startswith("directinversion+p2p_guidance_"):
                 from pnpinversion_tpu.editors.p2p_editor import GUIDANCE_GRID
@@ -189,9 +193,7 @@ def _sweep_ef(pipe, mesh, pending, batch, size, logger):
             conds = list(_encode_chunk(
                 pipe, chunk, lambda it: [it.source_prompt, it.target_prompt]))
             cond, _ = pad_batch(conds, batch)
-            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
-                batch - n_real)
-            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            tensors_b = _pad_tensors(chunk, batch, n_real)
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(cond), 1.0, 7.5, tensors_b)
             _save_strips(chunk, images, recon, edit, size, logger, method)
@@ -360,9 +362,7 @@ def _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger,
                 pipe, chunk, lambda it: [it.source_prompt, it.target_prompt])
             csrc, _ = pad_batch(list(both[:, :1]), batch)
             c2, _ = pad_batch(list(both), batch)
-            tb = [e["tensors"] for e in chunk] + [chunk[-1]["tensors"]] * (
-                batch - n_real)
-            tensors_b = jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
+            tensors_b = _pad_tensors(chunk, batch, n_real)
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(csrc), jnp.asarray(c2),
                 tensors_b, 7.5)
@@ -450,12 +450,17 @@ def main(argv=None):
             continue
         pending.append({"item": item, "save_path": save_path})
 
+    # NOTE: no early return on empty `pending` — in multi-host mode every
+    # process must still reach the final allreduce collective below, or
+    # a process whose slice is already complete (common on restarts) would
+    # exit and deadlock the rest of the cluster.
     if not pending:
         print("nothing to do")
-        return
 
     batch = n_dev * args.batch_per_device
-    if BatchedDirectInversionP2P.supports(method):
+    if not pending:
+        pass
+    elif BatchedDirectInversionP2P.supports(method):
         _sweep_p2p(pipe, mesh, pending, batch, size, logger, method)
     elif method.endswith("masactrl"):
         _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
