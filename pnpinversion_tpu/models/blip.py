@@ -274,7 +274,7 @@ class BlipCaptioner:
                    init_blip_decoder_params(k2, text_cfg),
                    tokenizer, vision_cfg, text_cfg, prompt)
 
-    def __call__(self, image_u8: np.ndarray) -> str:
+    def _caption_fn(self):
         from pnpinversion_tpu.evaluation.metrics import (
             center_crop_resize_224,
             imagenet_normalize,
@@ -298,15 +298,28 @@ class BlipCaptioner:
                                         num_beams=self.num_beams,
                                         min_length=self.min_length)
 
-            self._jit = jax.jit(fn)
-        ids = np.asarray(self._jit(self.vision_params, self.decoder_params,
-                                   jnp.asarray(np.asarray(image_u8))))
+            # batched: the whole decode (incl. beam search) vmaps over images
+            self._jit = jax.jit(jax.vmap(fn, in_axes=(None, None, 0)))
+        return self._jit
+
+    def _decode_ids(self, ids: np.ndarray) -> str:
         out: List[int] = []
         for t in ids[1:]:
             if t in (self.text_cfg.sep_token_id, self.text_cfg.pad_token_id):
                 break
             out.append(int(t))
         return self.tokenizer.decode(out).strip()
+
+    def __call__(self, image_u8: np.ndarray) -> str:
+        return self.caption_batch(np.asarray(image_u8)[None])[0]
+
+    def caption_batch(self, images_u8: np.ndarray) -> List[str]:
+        """Caption (N,H,W,3) images in ONE device dispatch (the per-image
+        path pays a tunnel round trip per call)."""
+        ids = np.asarray(self._caption_fn()(
+            self.vision_params, self.decoder_params,
+            jnp.asarray(np.asarray(images_u8))))
+        return [self._decode_ids(row) for row in ids]
 
 
 def make_blip_captioner(checkpoint_dir: str) -> BlipCaptioner:

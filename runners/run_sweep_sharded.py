@@ -303,16 +303,21 @@ def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
                            .resize((size, size), PILImage.Resampling.LANCZOS))
                   for e in chunk]
         imgs, _ = pad_batch(images, batch)
-        caps = []
-        for e, img in zip(chunk, images):
-            cap = captions.get(e["item"].key)
-            if cap is None:
-                if captioner is None:
-                    raise ValueError(
-                        "pix2pix-zero needs captions: pass --caption_file or "
-                        "converted BLIP weights via --checkpoint_dir")
-                cap = captioner(img)
-            caps.append(cap)
+        caps = [captions.get(e["item"].key) for e in chunk]
+        missing = [i for i, c in enumerate(caps) if c is None]
+        if missing:
+            if captioner is None:
+                raise ValueError(
+                    "pix2pix-zero needs captions: pass --caption_file or "
+                    "converted BLIP weights via --checkpoint_dir")
+            if hasattr(captioner, "caption_batch"):
+                # one device dispatch for the whole chunk's beam decodes
+                new = captioner.caption_batch(
+                    np.stack([images[i] for i in missing]))
+            else:
+                new = [captioner(images[i]) for i in missing]
+            for i, c in zip(missing, new):
+                caps[i] = c
         texts = [t for e, cap in zip(chunk, caps)
                  for t in (cap, e["item"].source_prompt, e["item"].target_prompt)]
         embs = np.asarray(pipe.encode_prompt(texts))
