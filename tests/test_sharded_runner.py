@@ -487,3 +487,28 @@ def test_sharded_sweep_more_families(method, mini_dataset, tmp_path, monkeypatch
         arr = np.asarray(Image.open(p))
         assert arr.shape == (16, 64, 3)
         assert np.isfinite(arr).all()
+
+
+def test_param_shardings_specs():
+    """TP placement rules: shard out-dims divisible by tp, replicate the rest."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from pnpinversion_tpu.parallel.sweep import (
+        make_dp_mesh,
+        make_dp_tp_mesh,
+        param_shardings,
+    )
+
+    params = {"lin": jnp.zeros((8, 16)), "conv": jnp.zeros((3, 3, 8, 32)),
+              "odd": jnp.zeros((8, 3)), "bias": jnp.zeros((16,))}
+    tp_mesh = make_dp_tp_mesh(4, tp=2)
+    sh = param_shardings(tp_mesh, params)
+    assert sh["lin"].spec == P(None, "tp")
+    assert sh["conv"].spec == P(None, None, None, "tp")
+    assert sh["odd"].spec == P()   # 3 not divisible by tp
+    assert sh["bias"].spec == P()  # 1D replicated
+    # dp-only mesh: everything replicated
+    sh2 = param_shardings(make_dp_mesh(2), params)
+    assert all(s.spec == P() for s in jax.tree.leaves(
+        jax.tree.map(lambda s: s, sh2, is_leaf=lambda x: hasattr(x, "spec"))))
