@@ -25,6 +25,44 @@ from pnpinversion_tpu.utils.tokenizer import default_tokenizer
 Array = jax.Array
 
 
+def fast_random_like(key, init_fn):
+    """Random params with ``init_fn``'s tree/shape/dtype structure drawn
+    from ONE flat uniform.
+
+    The per-leaf init functions issue one RNG chain per leaf (~3000 for
+    SD1.4), and the resulting HLO takes ~90s to compile on the remote TPU
+    service; a single flat uniform plus static slices compiles ~10x faster
+    (measured 2.9s vs 31s at 600 leaves). Leaf distributions are
+    shape/name-derived: norm ``scale``->ones, ``bias``->zeros, kernels
+    (ndim>=2) -> uniform(+-1/sqrt(fan_in)), everything else a small
+    uniform. The draw differs from ``init_fn``'s stream — fine for random
+    scaffolding weights (real runs load checkpoints); CPU tests keep the
+    exact per-leaf init for stability.
+    """
+    from pnpinversion_tpu.models.layers import _fan_in
+
+    shapes = jax.eval_shape(init_fn, key)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    total = sum(int(np.prod(l.shape)) for _, l in leaves) or 1
+    flat = jax.random.uniform(key, (total,), jnp.float32, -1.0, 1.0)
+    out, off = [], 0
+    for path, l in leaves:
+        n = int(np.prod(l.shape))
+        k = path[-1]
+        name = str(getattr(k, "key", getattr(k, "name", k)))
+        if name == "scale":
+            v = jnp.ones(l.shape, jnp.float32)
+        elif name == "bias":
+            v = jnp.zeros(l.shape, jnp.float32)
+        else:
+            seg = flat[off : off + n].reshape(l.shape)
+            off += n
+            scale = (1.0 / np.sqrt(_fan_in(l.shape))) if l.ndim >= 2 else 0.02
+            v = seg * scale
+        out.append(v.astype(l.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @dataclasses.dataclass
 class SDPipeline:
     config: StableDiffusionConfig
@@ -73,7 +111,13 @@ class SDPipeline:
                     "text": init_clip_text_params(k3, config.text),
                 })
 
-            params = jax.jit(_init)(rng)
+            if jax.default_backend() == "cpu":
+                params = jax.jit(_init)(rng)
+            else:
+                # remote-compile the tiny flat-uniform program (~10s)
+                # instead of the ~3000-RNG-chain per-leaf one (~90s)
+                params = jax.jit(
+                    lambda k: fast_random_like(k, _init))(rng)
         tokenizer = tokenizer or default_tokenizer()
         schedule = make_ddim_schedule(num_steps=num_ddim_steps)
         return cls(config=config, params=params, tokenizer=tokenizer,

@@ -101,3 +101,41 @@ def test_clip_text():
     h2 = clip_text_apply(params, ids2, cfg)
     np.testing.assert_allclose(np.asarray(h[0, :3]), np.asarray(h2[0, :3]), atol=1e-5)
     assert not np.allclose(np.asarray(h[0, 3:5]), np.asarray(h2[0, 3:5]))
+
+
+def test_fast_random_like_matches_init_structure():
+    """TPU-path fast init: same tree/shapes/dtypes as the per-leaf init,
+    ones/zeros for norm scale/bias, finite fan-in-scaled kernels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnpinversion_tpu.configs import TINY
+    from pnpinversion_tpu.models.clip_text import init_clip_text_params
+    from pnpinversion_tpu.models.unet import init_unet_params
+    from pnpinversion_tpu.models.vae import init_vae_params
+    from pnpinversion_tpu.pipeline import fast_random_like
+
+    def init(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"unet": init_unet_params(k1, TINY.unet),
+                "vae": init_vae_params(k2, TINY.vae),
+                "text": init_clip_text_params(k3, TINY.text)}
+
+    key = jax.random.PRNGKey(5)
+    slow = init(key)
+    fast = jax.jit(lambda k: fast_random_like(k, init))(key)
+    assert jax.tree_util.tree_structure(slow) == jax.tree_util.tree_structure(fast)
+    for (pa, a), (pb, b) in zip(jax.tree_util.tree_flatten_with_path(slow)[0],
+                                jax.tree_util.tree_flatten_with_path(fast)[0]):
+        assert pa == pb and a.shape == b.shape and a.dtype == b.dtype
+        assert np.isfinite(np.asarray(b)).all()
+        name = str(getattr(pa[-1], "key", pa[-1]))
+        if name == "scale":
+            assert np.all(np.asarray(b) == 1.0)
+        elif name == "bias":
+            assert np.all(np.asarray(b) == 0.0)
+        elif b.ndim >= 2:
+            # same fan-in-scaled uniform family as the per-leaf init
+            assert float(np.abs(np.asarray(b)).max()) <= float(
+                np.abs(np.asarray(a)).max()) * 3 + 1e-6
