@@ -167,10 +167,10 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray], unet_config: UNetConfig,
     return {"unet": unet, "vae": vae, "text": text}
 
 
-def _remap_ldm_vae(sd: Dict[str, np.ndarray], config: VAEConfig) -> Dict[str, np.ndarray]:
-    """CompVis VAE names -> diffusers VAE names (subset needed by convert_vae)."""
+def ldm_vae_rename_map(config: VAEConfig):
+    """(CompVis prefix -> diffusers prefix, CompVis resnet part -> diffusers
+    part) rename tables; public so tests can synthesize LDM-layout VAEs."""
     n = len(config.block_out_channels)
-    out: Dict[str, np.ndarray] = {}
     ren = {}
     for side in ("encoder", "decoder"):
         ren[f"{side}.conv_in"] = f"{side}.conv_in"
@@ -195,6 +195,13 @@ def _remap_ldm_vae(sd: Dict[str, np.ndarray], config: VAEConfig) -> Dict[str, np
             ren[f"{side}.mid.attn_1.{old}"] = f"{side}.mid_block.attentions.0.{new}"
     resnet_parts = {"norm1": "norm1", "conv1": "conv1", "norm2": "norm2",
                     "conv2": "conv2", "nin_shortcut": "conv_shortcut"}
+    return ren, resnet_parts
+
+
+def _remap_ldm_vae(sd: Dict[str, np.ndarray], config: VAEConfig) -> Dict[str, np.ndarray]:
+    """CompVis VAE names -> diffusers VAE names (subset needed by convert_vae)."""
+    ren, resnet_parts = ldm_vae_rename_map(config)
+    out: Dict[str, np.ndarray] = {}
     for key in sd:
         mapped = key  # quant_conv / post_quant_conv already match
         # longest-prefix match so "encoder.down.1.block.0" beats "encoder.down.1"

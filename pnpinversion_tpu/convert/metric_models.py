@@ -142,6 +142,11 @@ def convert_blip_decoder(sd: Dict[str, np.ndarray], layers: int = 12) -> Dict[st
         "cls_norm": _norm(sd, f"{cls_pre}cls.predictions.transform.LayerNorm"),
         "cls_decoder": _lin(sd, f"{cls_pre}cls.predictions.decoder"),
     }
+    # HF/lavis tie cls.predictions.bias to decoder.bias and persist BOTH;
+    # the standalone bias is the canonical Parameter, so prefer it
+    tied_bias = f"{cls_pre}cls.predictions.bias"
+    if tied_bias in sd:
+        p["cls_decoder"]["bias"] = np.asarray(sd[tied_bias])
     for i in range(layers):
         b = f"{pre}encoder.layer.{i}"
         p["layers"].append({
