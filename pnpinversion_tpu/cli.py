@@ -24,10 +24,20 @@ def setup_compile_cache() -> None:
     server-side (a fresh 512px text-encoder compile measures ~4s), while a
     persistent-cache HIT must ship the serialized executable (>100MB for
     the fused sweep scans) back through the tunnel — measured 2-20 minutes,
-    i.e. strictly slower than just recompiling remotely."""
+    i.e. strictly slower than just recompiling remotely.
+
+    Decides CPU-vs-TPU from jax_platforms config / JAX_PLATFORMS env when
+    set, WITHOUT initializing the XLA backend: jax.distributed.initialize
+    raises once backends exist, so this must stay safe to call before
+    multihost.initialize (advisor r2, high)."""
     import jax
 
-    if jax.default_backend() != "cpu":
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms:
+        first = str(platforms).split(",")[0].strip().lower()
+        if first != "cpu":
+            return
+    elif jax.default_backend() != "cpu":
         return
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
@@ -37,10 +47,10 @@ def setup_compile_cache() -> None:
 
 
 def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParser:
-    # every runner builds its parser first thing, so hook the compile cache
-    # here: run_sweep_sharded has its own main loop and previously never
-    # enabled the cache, recompiling the full 512px pipeline every invocation
-    setup_compile_cache()
+    # NOTE: must not touch the XLA backend here — run_sweep_sharded builds
+    # its parser before jax.distributed.initialize, which raises once
+    # backends are initialized. setup_compile_cache() is called by
+    # run_benchmark and by run_sweep_sharded.main after multihost init.
     p = argparse.ArgumentParser()
     p.add_argument("--rerun_exist_images", action="store_true")
     p.add_argument("--data_path", type=str, default="data")
@@ -78,8 +88,8 @@ def run_benchmark(
                               mapping_file=getattr(args, "mapping_file", None))
     for item in dataset.items(args.edit_category_list):
         for edit_method in args.edit_method_list:
-            rel = os.path.relpath(item.image_path,
-                                  os.path.join(args.data_path, "annotation_images"))
+            rel = item.rel_output_path(
+                os.path.join(args.data_path, "annotation_images"))
             save_path = os.path.join(args.output_path, image_save_paths[edit_method],
                                      "annotation_images", rel)
             if os.path.exists(save_path) and not args.rerun_exist_images:

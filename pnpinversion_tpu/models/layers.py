@@ -115,14 +115,23 @@ def group_norm(p: Params, x: Array, groups: int, eps: float = 1e-5) -> Array:
 
 
 def layer_norm(p: Params, x: Array, eps: float = 1e-5) -> Array:
-    """LayerNorm with one-pass f32 moments (E[x^2] - E[x]^2) and the
-    normalization folded to a single fused elementwise pass (same rationale
-    and error bound as group_norm above)."""
+    """LayerNorm in f32 with the normalization folded to a single fused
+    elementwise pass.
+
+    Moments: one-pass (E[x^2] - E[x]^2) only for bf16 inputs, where the
+    ~2^-24*(1+(mean/std)^2) cancellation error sits far below the activation
+    noise floor. For f32 inputs — the CLIP/DINO/LPIPS metric towers, whose
+    ViT activations have extreme outlier channels that inflate mean^2/var —
+    use the two-pass subtract-mean variance (no cancellation)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
-    meansq = (xf * xf).mean(axis=-1, keepdims=True)
-    var = jnp.maximum(meansq - mean * mean, 0.0)
+    if orig_dtype == jnp.bfloat16:
+        meansq = (xf * xf).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(meansq - mean * mean, 0.0)
+    else:
+        d = xf - mean
+        var = (d * d).mean(axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     y = (xf - mean) * inv
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)

@@ -13,6 +13,7 @@ the logits unchanged, zero-padded v rows contribute nothing).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -87,10 +88,14 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     # SD head dims (40/80/160) are not lane-aligned. When D is a sublane
     # multiple, hand the unpadded arrays to Mosaic: the implicit lane padding
     # of VMEM loads is zero-filled (verified exact vs the einsum path on
-    # hardware), which keeps the QK logits and PV products unchanged while
-    # skipping three HBM pad materializations and the output slice. The
-    # interpreter (CPU tests) has no such tiling, so pad explicitly there.
-    if d % 8 == 0 and not interpret:
+    # hardware; regression-tested in tests/test_flash_attention.py's
+    # TPU-gated case), which keeps the QK logits and PV products unchanged
+    # while skipping three HBM pad materializations and the output slice.
+    # Mosaic does not document the zero-fill, so PNPI_FLASH_EXPLICIT_PAD=1 is
+    # the escape hatch if a future jaxlib breaks it. The interpreter (CPU
+    # tests) has no such tiling, so pad explicitly there.
+    explicit_pad = os.environ.get("PNPI_FLASH_EXPLICIT_PAD") == "1"
+    if d % 8 == 0 and not interpret and not explicit_pad:
         d_pad = d
     else:
         d_pad = max(128, ((d + 127) // 128) * 128)

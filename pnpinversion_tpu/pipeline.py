@@ -83,6 +83,13 @@ class SDPipeline:
         dtype=jnp.float32,
     ) -> "SDPipeline":
         """Random-weight pipeline, or load a converted checkpoint when given."""
+        # the init jit below is the first compile of a runner process; make
+        # sure the CPU persistent cache is configured before it (runners used
+        # to rely on standard_argparser doing this, which broke multi-host)
+        from pnpinversion_tpu.cli import setup_compile_cache
+
+        setup_compile_cache()
+
         def _cast(p):
             if dtype == jnp.float32:
                 return p

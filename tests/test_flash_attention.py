@@ -24,6 +24,28 @@ def test_flash_matches_reference(shape, scale):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="checks Mosaic's (undocumented) zero-fill of "
+                           "implicit VMEM lane padding on real hardware")
+@pytest.mark.parametrize("d", [40, 80, 160])
+def test_flash_padfree_matches_einsum_on_tpu(d):
+    """The pad-free fast path (d % 8 == 0, no explicit lane pad) relies on
+    Mosaic zero-filling implicit lane padding — verified empirically, not a
+    documented guarantee. This gate catches a jaxlib/Mosaic upgrade silently
+    corrupting attention outputs (advisor r2). Escape hatch:
+    PNPI_FLASH_EXPLICIT_PAD=1."""
+    shape = (1, 2, 256, d)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, shape, jnp.bfloat16)
+    k = jax.random.normal(kk, shape, jnp.bfloat16)
+    v = jax.random.normal(kv, shape, jnp.bfloat16)
+    scale = d**-0.5
+    ref = apply_probs(attention_probs(q, k, scale), v)
+    out = flash_attention(q, k, v, scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+
 def test_flash_cross_seq():
     """Different q/kv sequence lengths."""
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
