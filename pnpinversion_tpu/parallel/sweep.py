@@ -16,6 +16,7 @@ compile to different programs; group_items_by_spec buckets them first.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -131,10 +132,20 @@ class BatchedDirectInversionP2P:
     def supports(cls, method: str) -> bool:
         """True for the fixed variants plus the group-3 guidance grid
         (directinversion+p2p_guidance_<inv>_<fwd>, p2p_editor.py:270-277)
-        and the group 5-8 ablations (incl. interval_<k>)."""
+        and the group 5-8 ablations (incl. interval_<k> and step_<n>)."""
         return (method in cls.VARIANTS or method in cls.ABLATIONS
                 or method.startswith("directinversion+p2p_guidance_")
-                or method.startswith("ablation_directinversion_interval_"))
+                or method.startswith("ablation_directinversion_interval_")
+                or cls.step_ablation_steps(method) is not None)
+
+    @staticmethod
+    def step_ablation_steps(method: str) -> Optional[int]:
+        """Group-7 step-count ablation (evaluate.py:167-170): the method IS
+        plain directinversion+p2p run at a different DDIM step count; the
+        pipeline must be created with num_ddim_steps=<n> and the output folder
+        keeps the ablation name."""
+        m = re.fullmatch(r"ablation_directinversion_step_(\d+)\+p2p", method)
+        return int(m.group(1)) if m else None
 
     def __init__(self, pipe: SDPipeline, mesh: Optional[Mesh] = None,
                  num_inner_steps: int = 10, proximal: str = "l0",
@@ -305,6 +316,10 @@ class BatchedDirectInversionP2P:
         """images_u8 (N,H,W,3); cond (N,2,77,D); uncond (2,77,D) shared or
         (N,2,77,D) per-image; tensors: pytree with leading N.
         Returns (recon_imgs, edit_imgs) uint8 (N,H,W,3)."""
+        if self.step_ablation_steps(method) is not None:
+            # group 7: same program as the flagship, just a different step
+            # count baked into the pipeline's schedule at creation time
+            method = "directinversion+p2p"
         uncond = jnp.asarray(uncond)
         if uncond.ndim == 3:
             uncond = jnp.broadcast_to(

@@ -62,7 +62,10 @@ METHODS = ["directinversion+p2p", "ddim+p2p", "negative-prompt-inversion+p2p",
            "ablation_directinversion_add-target+p2p",
            "ablation_null-latent-inversion+p2p",
            "ablation_null-text-inversion_single_branch+p2p"] + [
-           f"ablation_directinversion_interval_{k}+p2p" for k in (2, 5, 10, 24, 49)]
+           f"ablation_directinversion_interval_{k}+p2p" for k in (2, 5, 10, 24, 49)] + [
+           # group-7 step-count ablations (evaluate.py:167-170): plain
+           # directinversion+p2p with num_ddim_steps baked from the name
+           f"ablation_directinversion_step_{k}+p2p" for k in (20, 100, 500)]
 
 # reference output-folder names that differ from the method string
 # (run_editing_stylediffusion.py preserves this typo)
@@ -398,6 +401,12 @@ def main(argv=None):
 
     multihost.initialize(args.coordinator_address, args.num_processes,
                          args.process_id)
+    # only after distributed init: setup_compile_cache may initialize the
+    # backend (jax.default_backend fallback), which would make a later
+    # jax.distributed.initialize raise
+    from pnpinversion_tpu.cli import setup_compile_cache
+
+    setup_compile_cache()
 
     # BLD runs SD2.1-base (run_editing_blended_latent_diffusion.py:43); the
     # instruct models an 8-in-channel ldm UNet; everything else SD1.4
@@ -409,6 +418,9 @@ def main(argv=None):
         sd_config = IP2P
     else:
         sd_config = SD14
+    ablation_steps = BatchedDirectInversionP2P.step_ablation_steps(method)
+    if ablation_steps is not None:
+        args.num_ddim_steps = ablation_steps
     pipe = SDPipeline.create(sd_config, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir,
                              dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
@@ -434,8 +446,8 @@ def main(argv=None):
         items = multihost.process_shard(items)
     pending = []
     for item in items:
-        rel = os.path.relpath(item.image_path,
-                              os.path.join(args.data_path, "annotation_images"))
+        rel = item.rel_output_path(
+            os.path.join(args.data_path, "annotation_images"))
         save_path = os.path.join(args.output_path, FOLDERS.get(method, method),
                                  "annotation_images", rel)
         if os.path.exists(save_path) and not args.rerun_exist_images:

@@ -296,6 +296,80 @@ def test_batched_ablations_match_editor(method):
         assert diff.max() <= 2, (method, diff.max())
 
 
+def test_batched_step_ablation_matches_editor():
+    """Group-7 step-count ablation == the flagship editor run at that step
+    count (the method string only changes the schedule length + out folder,
+    reference evaluate.py:167-170)."""
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.control.p2p import make_p2p_control
+    from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+    from pnpinversion_tpu.parallel.sweep import (
+        BatchedDirectInversionP2P,
+        make_dp_mesh,
+    )
+
+    pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(43), num_ddim_steps=2)
+    size = pipe.config.vae.sample_size
+    rng = np.random.RandomState(37)
+    imgs = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    src, tar = "a cat on a mat", "a dog on a mat"
+
+    editor = P2PEditor(pipe)
+    ref_panels = [np.asarray(editor("directinversion+p2p", imgs[i], src,
+                                    tar))[:, 2 * size:]
+                  for i in range(2)]
+
+    assert BatchedDirectInversionP2P.supports("ablation_directinversion_step_2+p2p")
+    assert BatchedDirectInversionP2P.step_ablation_steps(
+        "ablation_directinversion_step_2+p2p") == 2
+    ctrl, tensors = make_p2p_control(
+        [src, tar], pipe.tokenizer, num_steps=2,
+        cross_replace_steps=0.4, self_replace_steps=0.6,
+        is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+        lb_res=pipe.lb_res, latent_size=pipe.latent_size)
+    sweep = BatchedDirectInversionP2P(pipe, make_dp_mesh(2))
+    cond = np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * 2)
+    uncond_b = np.stack([np.asarray(pipe.encode_prompt(["", ""]))] * 2)
+    tb = jax.tree.map(lambda x: jnp.stack([x, x]), tensors)
+    recon, edit = sweep.edit_batch(
+        ctrl.spec, np.asarray(imgs), jnp.asarray(cond), jnp.asarray(uncond_b),
+        7.5, tb, method="ablation_directinversion_step_2+p2p")
+    for i in range(2):
+        got = np.concatenate([np.asarray(recon[i]), np.asarray(edit[i])], axis=1)
+        diff = np.abs(got.astype(int) - ref_panels[i].astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
+def test_sharded_sweep_step_ablation_folder(mini_dataset, tmp_path, monkeypatch):
+    """`--method ablation_directinversion_step_20+p2p` bakes 20 steps into
+    the pipeline and writes the registry's expected folder (VERDICT r2 #3)."""
+    import runners.run_sweep_sharded as runner
+    from pnpinversion_tpu.evaluation.evaluate import all_tgt_image_folders
+
+    seen_steps = []
+    orig_create = SDPipeline.create.__func__
+
+    def fake_create(cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None):
+        seen_steps.append(num_ddim_steps)
+        return orig_create(cls, TINY, num_ddim_steps=num_ddim_steps)
+
+    monkeypatch.setattr(runner.SDPipeline, "create", classmethod(fake_create))
+    out = tmp_path / "out"
+    runner.main([
+        "--data_path", mini_dataset, "--output_path", str(out),
+        "--n_devices", "2", "--method", "ablation_directinversion_step_20+p2p",
+    ])
+    assert seen_steps == [20]
+    folder = out / "ablation_directinversion_step_20+p2p" / "annotation_images"
+    produced = sorted(folder.rglob("*.jpg"))
+    assert len(produced) == 3
+    # the eval registry reads exactly this folder under the suffixless key
+    reg = all_tgt_image_folders(str(out))
+    assert reg["7_ablation_directinversion_step_20"] == str(folder)
+
+
 def test_batched_guidance_grid_matches_editor():
     """Group-3 guidance-grid variant through the batched path == editor
     (CFG inversion at the grid's inverse scale, edit at the forward scale)."""
