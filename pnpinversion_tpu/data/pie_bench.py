@@ -107,6 +107,9 @@ class PieBenchItem:
     editing_type_id: str
     blended_word: List[str]
     mask: np.ndarray
+    # TI2I items carry a LIST of target prompts per image; prompt_index
+    # disambiguates the output filename (None for plain PIE-Bench items)
+    prompt_index: Optional[int] = None
 
     @property
     def source_prompt(self) -> str:
@@ -115,6 +118,16 @@ class PieBenchItem:
     @property
     def target_prompt(self) -> str:
         return self.editing_prompt.replace("[", "").replace("]", "")
+
+    def rel_output_path(self, images_root: str) -> str:
+        """Output path relative to the method folder: the input's relpath,
+        suffixed ``_<prompt_index>`` before the extension for multi-prompt
+        (TI2I) items so per-prompt edits of one image don't collide."""
+        rel = os.path.relpath(self.image_path, images_root)
+        if self.prompt_index is not None:
+            stem, ext = os.path.splitext(rel)
+            rel = f"{stem}_{self.prompt_index}{ext}"
+        return rel
 
 
 class PieBenchDataset:
@@ -162,6 +175,7 @@ class PieBenchDataset:
                     editing_type_id=cat if cat is not None else "ti2i",
                     blended_word=blended_words,
                     mask=mask,
+                    prompt_index=pi if many else None,
                 )
 
     @staticmethod

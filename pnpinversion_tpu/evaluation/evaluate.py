@@ -62,8 +62,9 @@ def all_tgt_image_folders(output_root: str = "output") -> Dict[str, str]:
         for m in methods:
             key = f"{group}_{m}"
             folder = m
-            if group == "6":
-                key = f"6_{m.replace('+p2p', '')}"
+            if group in ("6", "7"):
+                # groups 6/7 key without the +p2p suffix (evaluate.py:163-170)
+                key = f"{group}_{m.replace('+p2p', '')}"
             reg[key] = os.path.join(output_root, folder, "annotation_images")
     # group-4 legacy aliases for the null-text rows (evaluate.py:148-149)
     reg["4_null-text-inverse+p2p_a800"] = os.path.join(
@@ -121,13 +122,58 @@ def crop_edit_panel(img: Image.Image, panel: Optional[int] = None) -> Image.Imag
     return img
 
 
-def _nan_sentinel(metric: str, mask: np.ndarray) -> bool:
-    """Host-side "nan" rules (evaluate.py:29-98)."""
+def _nan_sentinel(metric: str, mask: np.ndarray, has_mask: bool = True,
+                  src_prompt: str = " ") -> bool:
+    """Host-side "nan" rules (evaluate.py:29-98), extended for TI2I items
+    (README.md:148-153) which carry NO mask and NO source prompt: every
+    masked metric and clip_similarity_source_image is undefined there."""
     if metric.endswith("_unedit_part"):
-        return (1 - mask).sum() == 0
+        return not has_mask or (1 - mask).sum() == 0
     if metric.endswith("_edit_part"):
-        return mask.sum() == 0
+        return not has_mask or mask.sum() == 0
+    if metric == "clip_similarity_source_image":
+        return src_prompt.strip() == ""
     return False
+
+
+def _normalized_items(annotation: Dict, edit_category_list: List[str]):
+    """One evaluation row per (image, target prompt).
+
+    PIE-Bench items pass through unchanged. TI2I items
+    (mapping_file_ti2i_benchmark.json, reference README.md:148-153) have no
+    ``editing_type_id`` (the category filter passes them), no ``mask``
+    (``has_mask=False`` -> masked metrics emit "nan"), no source prompt
+    (clip_similarity_source_image emits "nan"), and possibly a LIST of
+    editing prompts — one row per prompt, with file_id and the target
+    filename suffixed ``_<i>`` to match ``PieBenchItem.rel_output_path``.
+
+    Yields dicts: file_id, src_path (input-relative), tgt_path (method
+    -folder-relative), src_prompt, tgt_prompt, mask (H,W,3 float), has_mask.
+    """
+    for key, item in annotation.items():
+        cat = item.get("editing_type_id")
+        if cat is not None and cat not in edit_category_list:
+            continue
+        has_mask = "mask" in item
+        mask = (mask_decode(item["mask"]) if has_mask
+                else np.zeros((512, 512)))[:, :, np.newaxis].repeat(3, axis=2)
+        src_prompt = item.get("original_prompt", "").replace("[", "").replace("]", "")
+        prompts = item.get("editing_prompt", "")
+        many = isinstance(prompts, (list, tuple))
+        for pi, prompt in enumerate(prompts if many else [prompts]):
+            tgt_path = item["image_path"]
+            if many:
+                stem, ext = os.path.splitext(tgt_path)
+                tgt_path = f"{stem}_{pi}{ext}"
+            yield {
+                "file_id": f"{key}_{pi}" if many else key,
+                "src_path": item["image_path"],
+                "tgt_path": tgt_path,
+                "src_prompt": src_prompt,
+                "tgt_prompt": str(prompt).replace("[", "").replace("]", ""),
+                "mask": mask,
+                "has_mask": has_mask,
+            }
 
 
 def _evaluate_sharded(annotation: Dict, metrics: List[str],
@@ -141,39 +187,59 @@ def _evaluate_sharded(annotation: Dict, metrics: List[str],
     if batch_size is None:
         batch_size = ev.mesh.devices.size
 
-    items = [(k, it) for k, it in annotation.items()
-             if it["editing_type_id"] in edit_category_list]
     loaded = []
-    for key, item in items:
-        mask = mask_decode(item["mask"])[:, :, np.newaxis].repeat(3, axis=2)
-        src = np.array(Image.open(
-            os.path.join(src_image_folder, item["image_path"])))
-        loaded.append((key, item, src, mask))
+    for it in _normalized_items(annotation, edit_category_list):
+        it["src"] = np.array(Image.open(
+            os.path.join(src_image_folder, it["src_path"])))
+        loaded.append(it)
 
     results: Dict[tuple, object] = {}
     for fkey, folder in tgt_image_folders.items():
         for lo in range(0, len(loaded), batch_size):
             chunk = loaded[lo : lo + batch_size]
-            tgts = [np.array(crop_edit_panel(Image.open(
-                os.path.join(folder, it["image_path"]))))
-                for _, it, _, _ in chunk]
+            # A missing/corrupt target (the normal state of a half-finished
+            # sweep) must not lose hours of results: substitute a blank image
+            # to keep the compiled batch shape, emit "nan" for that item.
+            tgts, bad = [], set()
+            for i, it in enumerate(chunk):
+                try:
+                    tgts.append(np.asarray(crop_edit_panel(Image.open(
+                        os.path.join(folder, it["tgt_path"])))))
+                except Exception as exc:  # noqa: BLE001 - per-image isolation
+                    print(f"eval: unreadable target {fkey}/{it['tgt_path']}:"
+                          f" {exc!r}")
+                    tgts.append(np.zeros_like(it["src"]))
+                    bad.add(i)
             out = ev.evaluate_batch(
                 metrics,
-                np.stack([s for _, _, s, _ in chunk]), np.stack(tgts),
-                np.stack([m for _, _, _, m in chunk]),
-                [it["original_prompt"].replace("[", "").replace("]", "")
-                 for _, it, _, _ in chunk],
-                [it["editing_prompt"].replace("[", "").replace("]", "")
-                 for _, it, _, _ in chunk])
-            for i, (key, _, _, mask) in enumerate(chunk):
+                np.stack([it["src"] for it in chunk]), np.stack(tgts),
+                np.stack([it["mask"] for it in chunk]),
+                [it["src_prompt"] for it in chunk],
+                [it["tgt_prompt"] for it in chunk])
+            for i, it in enumerate(chunk):
                 for m in metrics:
-                    results[(key, fkey, m)] = (
-                        "nan" if _nan_sentinel(m, mask) else float(out[m][i]))
+                    results[(it["file_id"], fkey, m)] = (
+                        "nan" if i in bad or _nan_sentinel(
+                            m, it["mask"], it["has_mask"], it["src_prompt"])
+                        else float(out[m][i]))
+        # rewrite the CSV as soon as each folder completes (the serial path
+        # appends per image); a crash in a later folder keeps earlier work.
+        _flush_sharded_rows(result_path, results,
+                            [it["file_id"] for it in loaded],
+                            tgt_image_folders, metrics)
 
-    with open(result_path, "a+", newline="") as f:
+
+def _flush_sharded_rows(result_path, results, file_ids, tgt_image_folders,
+                        metrics) -> None:
+    """Rewrite the data rows from whatever (image, folder, metric) results
+    exist so far; unfinished cells stay "nan". Idempotent overwrite keeps the
+    one-row-per-image CSV schema while preserving partial progress."""
+    head = [f"{key}|{m}" for key in tgt_image_folders for m in metrics]
+    with open(result_path, "w", newline="") as f:
         w = csv.writer(f)
-        for key, _ in items:
-            w.writerow([key] + [results[(key, fkey, m)]
+        w.writerow(["file_id"] + head)
+        for fid in file_ids:
+            w.writerow([fid] + [results.get((fid, fkey, m), "nan")
                                 for fkey in tgt_image_folders for m in metrics])
 
 
@@ -205,21 +271,22 @@ def evaluate(annotation_mapping_file: str, metrics: List[str],
                           calc, batch_size)
         return
 
-    for key, item in annotation.items():
-        if item["editing_type_id"] not in edit_category_list:
-            continue
-        mask = mask_decode(item["mask"])[:, :, np.newaxis].repeat(3, axis=2)
-        src_prompt = item["original_prompt"].replace("[", "").replace("]", "")
-        tgt_prompt = item["editing_prompt"].replace("[", "").replace("]", "")
-        src_image = Image.open(os.path.join(src_image_folder, item["image_path"]))
+    for it in _normalized_items(annotation, edit_category_list):
+        mask = it["mask"]
+        src_image = Image.open(os.path.join(src_image_folder, it["src_path"]))
 
-        row = [key]
+        row = [it["file_id"]]
         for _, folder in tgt_image_folders.items():
-            tgt_path = os.path.join(folder, item["image_path"])
-            tgt_image = crop_edit_panel(Image.open(tgt_path))
+            tgt_image = crop_edit_panel(
+                Image.open(os.path.join(folder, it["tgt_path"])))
             for metric in metrics:
-                row.append(calculate_metric(calc, metric, src_image, tgt_image,
-                                            mask, mask, src_prompt, tgt_prompt))
+                if _nan_sentinel(metric, mask, it["has_mask"],
+                                 it["src_prompt"]):
+                    row.append("nan")
+                else:
+                    row.append(calculate_metric(
+                        calc, metric, src_image, tgt_image, mask, mask,
+                        it["src_prompt"], it["tgt_prompt"]))
         with open(result_path, "a+", newline="") as f:
             csv.writer(f).writerow(row)
 

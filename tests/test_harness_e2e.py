@@ -78,6 +78,70 @@ def test_ti2i_mapping_schema(tmp_path):
     assert [it.target_prompt for it in items[1:]] == ["a cat", "a dog"]
 
 
+def test_ti2i_end_to_end(tmp_path, monkeypatch):
+    """TI2I benchmark flows through the whole loop (VERDICT r2 #5): TI2I
+    mapping -> dp-sharded sweep (multi-prompt items write _<i>-suffixed
+    strips, no collisions) -> evaluate CSV, where the TI2I metric subset is:
+    masked metrics and clip_similarity_source_image = "nan" (no mask, no
+    source prompt); whole-image + target-prompt metrics compute."""
+    import runners.run_sweep_sharded as runner
+    from pnpinversion_tpu.evaluation.calculator import MetricsCalculator
+    from pnpinversion_tpu.evaluation.evaluate import evaluate
+
+    rng = np.random.RandomState(3)
+    data = tmp_path / "data"
+    (data / "annotation_images" / "ti2i_benchmark").mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            data / "annotation_images" / "ti2i_benchmark" / f"{i}.jpg")
+    mapping = {
+        "0": {"image_path": "ti2i_benchmark/0.jpg",
+              "editing_prompt": "a sculpture of a cat"},
+        "1": {"image_path": "ti2i_benchmark/1.jpg",
+              "editing_prompt": ["a cat", "a dog"]},
+    }
+    mf = data / "mapping_file_ti2i_benchmark.json"
+    mf.write_text(json.dumps(mapping))
+
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        runner.SDPipeline, "create",
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
+                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+    out = tmp_path / "out"
+    runner.main([
+        "--data_path", str(data), "--output_path", str(out),
+        "--mapping_file", str(mf), "--n_devices", "2",
+    ])
+    folder = out / "directinversion+p2p" / "annotation_images"
+    produced = sorted(p.name for p in folder.rglob("*.jpg"))
+    assert produced == ["0.jpg", "1_0.jpg", "1_1.jpg"]
+
+    # sources resized to the tiny panel size for the metric stack
+    src16 = tmp_path / "src16"
+    (src16 / "ti2i_benchmark").mkdir(parents=True)
+    for i in range(2):
+        Image.open(data / "annotation_images" / "ti2i_benchmark"
+                   / f"{i}.jpg").resize((16, 16)).save(
+            src16 / "ti2i_benchmark" / f"{i}.jpg")
+
+    csv_path = tmp_path / "ti2i_result.csv"
+    metrics = ["mse", "clip_similarity_source_image",
+               "clip_similarity_target_image", "psnr_unedit_part"]
+    evaluate(str(mf), metrics, str(src16),
+             {"1_directinversion+p2p": str(folder)},
+             str(csv_path), [str(i) for i in range(10)],
+             calc=MetricsCalculator(tiny=True))
+    rows = list(csv.reader(open(csv_path)))
+    assert [r[0] for r in rows[1:]] == ["0", "1_0", "1_1"]
+    for row in rows[1:]:
+        mse, src_sim, tgt_sim, psnr_unedit = row[1:]
+        assert np.isfinite(float(mse))
+        assert src_sim == "nan"          # no source prompt
+        assert np.isfinite(float(tgt_sim))
+        assert psnr_unedit == "nan"      # no mask annotation
+
+
 def test_runner_sweep_and_evaluate(mini_dataset, tmp_path, monkeypatch):
     """Run the p2p runner CLI loop on the tiny config, then evaluate the
     outputs with the CSV driver — the reference's full operating loop."""
