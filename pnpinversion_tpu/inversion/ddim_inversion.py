@@ -173,7 +173,11 @@ def null_text_optimization(
             eps_uncond = _eps(params, latent_cur, t, u, config)
             eps = classifier_free_guidance(eps_uncond, eps_cond, guidance_scale)
             rec = ddim_step(schedule, eps, t, latent_cur)
-            return jnp.mean((rec - latent_prev) ** 2)
+            # f32 reduction: bf16 pipelines would both break the while_loop
+            # carry dtype (init is f32 inf) and blur the 1e-5-scale
+            # early-stop threshold
+            d = (rec - latent_prev).astype(jnp.float32)
+            return jnp.mean(d * d)
 
         def cond_fn(st):
             _, _, j, last_loss = st
@@ -238,7 +242,9 @@ def null_latent_offsets(
             eps2 = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, ctx, config)
             eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
             rec = ddim_step(schedule, eps, t, latent_cur)
-            return jnp.mean((rec[:1] - latent_prev[:1]) ** 2)
+            # f32 reduction (see null_text_optimization)
+            d = (rec[:1] - latent_prev[:1]).astype(jnp.float32)
+            return jnp.mean(d * d)
 
         def cond_fn(st):
             _, _, j, last_loss = st

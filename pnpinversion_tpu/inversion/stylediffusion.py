@@ -97,7 +97,9 @@ def train_mappers(
                                    train_ctrl, tensors, {}, step=i)
             eps = classifier_free_guidance(eps_u, eps_c, guidance_scale)
             rec = ddim_step(schedule, eps, t, latent_cur)
-            latent_loss = jnp.mean((rec - latent_prev) ** 2)
+            dlat = (rec - latent_prev).astype(jnp.float32)
+            latent_loss = jnp.mean(dlat * dlat)  # f32: bf16 would break the
+            # while_loop carry dtype and blur the early-stop threshold
             attn_loss = jnp.zeros((), jnp.float32)
             for k, gt in gt_i.items():
                 attn_loss = attn_loss + jnp.mean(

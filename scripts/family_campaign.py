@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""On-chip campaign: exercise each editing family at FULL 512px through the
+real sweep CLI and record per-family steady-state s/image (VERDICT r2 #1).
+
+Builds a small 512px demo set (random pixels — zero egress, weights are
+random anyway; shapes, I/O and compute are the production path), then runs
+`runners/run_sweep_sharded.py --method <m>` as a fresh subprocess per family
+(matching how production sweeps run), parses the run-log JSONL for
+image_done gaps, and appends results to docs/family_bench.json.
+
+Usage:  python scripts/family_campaign.py [--methods m1 m2 ...] [--images N]
+        [--timeout S]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_METHODS = [
+    "null-text-inversion+p2p",
+    "null-text-inversion+proximal-guidance",
+    "edit-friendly-inversion+p2p",
+    "blended-latent-diffusion",
+    "instruct-pix2pix",
+    "instruct-diffusion",
+    "directinversion+pix2pix-zero",
+    "stylediffusion+p2p",
+]
+
+
+def build_demo(data_path: str, n: int) -> None:
+    import numpy as np
+    from PIL import Image
+
+    from pnpinversion_tpu.data.pie_bench import mask_encode
+
+    imgdir = os.path.join(data_path, "annotation_images", "0_random")
+    os.makedirs(imgdir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    pairs = [
+        ("a [cat] sitting on a wooden table", "a [dog] sitting on a wooden table",
+         "change the cat to a dog", "cat dog"),
+        ("a round [cake] with orange frosting", "a square [cake] with orange frosting",
+         "make the cake square", "cake cake"),
+        ("a [car] parked on the street", "a [bicycle] parked on the street",
+         "replace the car with a bicycle", "car bicycle"),
+        ("a vase of [roses] on a desk", "a vase of [tulips] on a desk",
+         "swap the roses for tulips", "roses tulips"),
+    ]
+    mapping = {}
+    for i in range(n):
+        rel = f"0_random/{i:06d}.jpg"
+        Image.fromarray((rng.rand(512, 512, 3) * 255).astype(np.uint8)).save(
+            os.path.join(data_path, "annotation_images", rel))
+        mask = np.zeros((512, 512), np.uint8)
+        mask[128 + 8 * i : 384, 160 : 352 + 8 * i] = 1
+        src, tgt, instr, blend = pairs[i % len(pairs)]
+        mapping[f"{i:06d}"] = {
+            "image_path": rel, "original_prompt": src, "editing_prompt": tgt,
+            "editing_instruction": instr, "editing_type_id": "0",
+            "blended_word": blend, "mask": mask_encode(mask),
+        }
+    with open(os.path.join(data_path, "mapping_file.json"), "w") as f:
+        json.dump(mapping, f)
+
+
+def steady_s_per_image(run_log: str):
+    """Median gap between consecutive image_done events (first gap holds the
+    compile; with >=3 images the median reflects steady state)."""
+    ts = []
+    try:
+        with open(run_log) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("event") == "image_done":
+                    ts.append(rec["ts"])
+    except FileNotFoundError:
+        return None, 0
+    if len(ts) < 2:
+        return None, len(ts)
+    gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+    return gaps[len(gaps) // 2], len(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--methods", nargs="+", default=DEFAULT_METHODS)
+    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--workdir", default="/tmp/family_campaign")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "family_bench.json"))
+    ap.add_argument("--num_ddim_steps", type=int, default=50)
+    args = ap.parse_args()
+
+    data = os.path.join(args.workdir, "data")
+    if not os.path.exists(os.path.join(data, "mapping_file.json")):
+        build_demo(data, args.images)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for method in args.methods:
+        outdir = os.path.join(args.workdir, "out", method.replace("/", "_"))
+        log = os.path.join(args.workdir, f"log_{method.replace('/', '_')}.jsonl")
+        if os.path.exists(log):
+            os.remove(log)
+        cmd = [sys.executable, os.path.join(REPO, "runners", "run_sweep_sharded.py"),
+               "--data_path", data, "--output_path", outdir,
+               "--method", method, "--run_log", log,
+               "--num_ddim_steps", str(args.num_ddim_steps)]
+        if method.endswith("pix2pix-zero"):
+            # zero egress: no BLIP weights — supply the captions the
+            # captioner would produce (the production --caption_file path)
+            caps = os.path.join(args.workdir, "captions.json")
+            if not os.path.exists(caps):
+                with open(os.path.join(data, "mapping_file.json")) as f:
+                    mapping = json.load(f)
+                with open(caps, "w") as f:
+                    json.dump({k: it["original_prompt"].replace("[", "")
+                               .replace("]", "") for k, it in mapping.items()}, f)
+            cmd += ["--caption_file", caps]
+        print(f"=== {method} ===", flush=True)
+        t0 = time.time()
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=args.timeout, cwd=REPO)
+        wall = time.time() - t0
+        steady, n_done = steady_s_per_image(log)
+        rec = {"wall_s": round(wall, 1), "images_done": n_done,
+               "steady_s_per_image": round(steady, 2) if steady else None,
+               "rc": proc.returncode, "steps": args.num_ddim_steps,
+               "images": args.images}
+        if proc.returncode != 0:
+            rec["stderr_tail"] = proc.stderr[-2000:]
+        results[method] = rec
+        print(json.dumps({method: rec}), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,78 @@ def test_flash_padfree_matches_einsum_on_tpu(d):
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
 
 
+@pytest.mark.parametrize("shape,scale", [
+    ((1, 2, 256, 40), 40**-0.5),   # explicit-pad path (interpret)
+    ((1, 1, 256, 128), 128**-0.5),
+])
+def test_flash_grad_matches_reference(shape, scale):
+    """Reverse-mode through the Pallas FlashAttention-2 backward kernels ==
+    grad of the einsum reference (null-text / pix2pix-zero differentiate
+    through the UNet's flash sites at production shape)."""
+    b, h, s, d = shape
+    kq, kk, kv, kw = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    w = jax.random.normal(kw, shape, jnp.float32)  # nontrivial cotangent
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, scale, block_q=128, block_k=128,
+                              interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(apply_probs(attention_probs(q, k, scale), v) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_grad_cross_seq():
+    """Backward with different q/kv sequence lengths (cross-attn shape)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(kq, (1, 2, 256, 64))
+    k = jax.random.normal(kk, (1, 2, 128, 64))
+    v = jax.random.normal(kv, (1, 2, 128, 64))
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    got = loss(lambda q, k, v: flash_attention(
+        q, k, v, 0.125, block_q=128, block_k=128, interpret=True))
+    want = loss(lambda q, k, v: apply_probs(attention_probs(q, k, 0.125), v))
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
+
+
+def test_flash_grad_under_vmap():
+    """The sweep differentiates vmapped programs; the custom VJP must batch."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (2, 1, 2, 128, 32))
+    k = jax.random.normal(kk, (2, 1, 2, 128, 32))
+    v = jax.random.normal(kv, (2, 1, 2, 128, 32))
+    scale = 32**-0.5
+
+    def one(q, k, v):
+        out = flash_attention(q, k, v, scale, block_q=128, block_k=128,
+                              interpret=True)
+        return jnp.sum(out ** 2)
+
+    got = jax.grad(lambda q, k, v: jnp.sum(jax.vmap(one)(q, k, v)),
+                   argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(jax.vmap(lambda a, b, c: jnp.sum(
+            apply_probs(attention_probs(a, b, scale), c) ** 2))(q, k, v)),
+        argnums=(0, 1, 2))(q, k, v)
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
+
+
 def test_flash_cross_seq():
     """Different q/kv sequence lengths."""
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
