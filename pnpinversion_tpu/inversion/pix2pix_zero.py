@@ -142,7 +142,9 @@ def p2z_invert(
         eps, _ = unet_apply(params, lat, t, cond_embedding, config)
         eps = regularize_noise(eps, sub, lambda_ac, lambda_kl,
                                num_reg_steps, num_ac_rolls)
-        lat = p2z_inverse_step(schedule, eps, t, lat)
+        # the inverse step runs in f32 (raw schedule scalars); cast the
+        # carry back so bf16 production pipelines keep a stable scan carry
+        lat = p2z_inverse_step(schedule, eps, t, lat).astype(latent.dtype)
         return (lat, key), lat
 
     (_, _), traj = jax.lax.scan(body, (latent, rng), jnp.arange(T))

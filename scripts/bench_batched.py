@@ -55,16 +55,20 @@ def main():
 
     rng = np.random.RandomState(1234)
     for n in args.batches:
-        imgs = (rng.rand(n, 512, 512, 3) * 255).astype(np.uint8)
         cond = jnp.asarray(np.stack([cond1] * n))
         tb = jax.tree.map(lambda x: jnp.stack([x] * n), tensors)
+
+        def fresh():
+            # fresh pixels every dispatch: the tunnel elides repeated
+            # identical dispatches (docs/PERFORMANCE.md timing pitfalls)
+            return jnp.asarray((rng.rand(n, 512, 512, 3) * 255).astype(np.uint8))
+
         # warmup/compile
-        r, e = sweep.edit_batch(ctrl.spec, jnp.asarray(imgs), cond, uncond, 7.5, tb)
+        r, e = sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb)
         jax.block_until_ready((r, e))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            r, e = sweep.edit_batch(ctrl.spec, jnp.asarray(imgs), cond, uncond,
-                                    7.5, tb)
+            r, e = sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb)
             jax.block_until_ready((r, e))
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({"batch": n, "s_per_batch": round(dt, 4),
