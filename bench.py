@@ -11,12 +11,14 @@ numbers and a per-phase breakdown of the single-image path.
 What is measured per image (vs the reference's four 50-step loops,
 models/p2p/inversion.py:308-391 + p2p_guidance_forward.py:135-173):
   1. DDIM inversion          — 50 x UNet(b=1)   (same as reference)
-  2. offsets + edit          — 50 x UNet(b=4) ONE fused scan: with full
+  2. offsets + edit          — 50 x UNet(b=3) ONE fused scan: with full
      offsets the replay re-snaps to the trajectory and the controller never
      touches the source row, so the edit pass's source row IS the offset
      replay and the reconstruction equals decode(traj[0]) exactly (the
-     paper's exact-reconstruction property). The reference pays ~650
-     UNet-row forwards for the same math; this path pays ~250.
+     paper's exact-reconstruction property); the uncond-source row's eps
+     cancels out of that re-snap, so it is dropped from the batch entirely.
+     The reference pays ~650 UNet-row forwards for the same math; this
+     path pays ~200.
 plus VAE encode/decode and CLIP prompt encoding.
 
 vs_baseline compares against REF_A100_SECONDS, a derived estimate of the
@@ -51,7 +53,6 @@ def main():
     from pnpinversion_tpu.configs import SD14
     from pnpinversion_tpu.control.p2p import make_p2p_control
     from pnpinversion_tpu.editors.p2p_editor import P2PEditor
-    from pnpinversion_tpu.inversion.ddim_inversion import make_step_gate
     from pnpinversion_tpu.parallel.sweep import (
         BatchedDirectInversionP2P,
         make_dp_mesh,
@@ -94,12 +95,10 @@ def main():
     spec, tensors = editor._make_control([src, tar], 0.4, 0.6,
                                          kwargs["blend_word"],
                                          kwargs["eq_params"], False)
-    gate = make_step_gate(STEPS, 1.0, 1, pipe.dtype)
-    row_mask = jnp.array([1.0, 0.0], pipe.dtype)
     g = jnp.asarray(7.5, pipe.dtype)
     t0 = time.perf_counter()
     edit_latents = jax.block_until_ready(editor._fused_direct(spec)(
-        pipe.params["unet"], traj, cond, uncond, g, tensors, row_mask, gate))
+        pipe.params["unet"], traj, cond, uncond, g, tensors))
     t_fused = time.perf_counter() - t0
     t0 = time.perf_counter()
     jax.block_until_ready(editor._decode_image(
@@ -140,7 +139,7 @@ def main():
         "single_image_s": round(s_single, 4),
         f"batch{nb}_s_per_image": round(s_batched, 4),
         "phases_single_s": {"invert_50xb1": round(t_invert, 4),
-                            "fused_offsets_edit_50xb4": round(t_fused, 4),
+                            "fused_offsets_edit_50xb3": round(t_fused, 4),
                             "vae_decode_x2": round(t_vae, 4)},
     }))
 

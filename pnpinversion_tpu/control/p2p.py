@@ -55,6 +55,11 @@ class P2PSpec:
     # self-attn replace size threshold: 32² for P2P (attention_control.py:259),
     # 16² for edit-friendly DDPM's controller copy (ptp_classes.py:106)
     self_edit_max_seq: int = SELF_EDIT_MAX_SEQ
+    # rows in the uncond half of the batch; -1 == cond_groups * batch_size
+    # (the reference's symmetric CFG batch). The source-free fused scan
+    # (p2p_forward.fused_direct_inversion_edit_srcfree) drops the dead
+    # uncond-source row and sets this to batch_size - 1.
+    uncond_rows: int = -1
 
 
 class P2PControl(BaseControl):
@@ -96,7 +101,9 @@ class P2PControl(BaseControl):
         )
 
         B = self.spec.batch_size
-        half = self.spec.cond_groups * B
+        half = self.spec.uncond_rows
+        if half < 0:
+            half = self.spec.cond_groups * B
         lo = half + self.spec.edit_group * B
 
         out = fused_attention(q, k, v, scale)
@@ -113,7 +120,7 @@ class P2PControl(BaseControl):
     def probs_hook(self, site, probs, tensors, state, step):
         B = self.spec.batch_size
         G = self.spec.cond_groups
-        half = G * B
+        half = self.spec.uncond_rows if self.spec.uncond_rows >= 0 else G * B
         uncond, cond_all = probs[:half], probs[half:]
         lo = self.spec.edit_group * B
         cond = cond_all[lo : lo + B]

@@ -9,6 +9,7 @@ Outputs are the reference's 4-panel strips
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -114,19 +115,22 @@ class P2PEditor:
         return self._jit(("fwd", spec), build)
 
     def _fused_direct(self, spec: P2PSpec):
-        """Fused offsets+edit scan (sampling/p2p_forward.fused_direct_inversion_edit)."""
-        from pnpinversion_tpu.sampling.p2p_forward import fused_direct_inversion_edit
+        """Source-free fused offsets+edit scan
+        (sampling/p2p_forward.fused_direct_inversion_edit_srcfree): with full
+        offsets the dead uncond-source row is dropped (2B-1 UNet rows)."""
+        from pnpinversion_tpu.sampling.p2p_forward import (
+            fused_direct_inversion_edit_srcfree,
+        )
 
         sched, ucfg = self.pipe.schedule, self.pipe.config.unet
-        fspec = spec  # 2B-row fused scan uses the plain controller layout
+        fspec = dataclasses.replace(spec, uncond_rows=spec.batch_size - 1)
 
         def build():
             control = P2PControl(fspec)
 
-            def fn(p, traj, cond, uncond, g, tensors, row_mask, gate):
-                return fused_direct_inversion_edit(
-                    p, sched, ucfg, traj, cond, uncond, g, control, tensors,
-                    row_mask, gate)
+            def fn(p, traj, cond, uncond, g, tensors):
+                return fused_direct_inversion_edit_srcfree(
+                    p, sched, ucfg, traj, cond, uncond, g, control, tensors)
 
             return jax.jit(fn)
 
@@ -334,10 +338,9 @@ class P2PEditor:
         use_fused = fused and offset_rows == "source" and use_fast_recon
 
         if use_fused:
-            # one batch-2B scan computes offsets AND the controlled edit
-            row_mask = jnp.array([1.0, 0.0], pipe.dtype)
+            # one batch-(2B-1) scan computes offsets AND the controlled edit
             edit_latents = self._fused_direct(spec)(
-                pipe.params["unet"], traj, cond, uncond, g, tensors, row_mask, gate)
+                pipe.params["unet"], traj, cond, uncond, g, tensors)
             # recon = decode(traj[0]) (exact-reconstruction shortcut); decode
             # both panels in one batched VAE call
             both = np.asarray(self._decode_image(

@@ -179,6 +179,7 @@ class BatchedDirectInversionP2P:
         )
         from pnpinversion_tpu.sampling.p2p_forward import (
             fused_direct_inversion_edit,
+            fused_direct_inversion_edit_srcfree,
             guidance_forward,
             guidance_forward_single_branch,
             proximal_guidance_forward,
@@ -187,6 +188,8 @@ class BatchedDirectInversionP2P:
         pipe = self.pipe
         sched, ucfg, vcfg = pipe.schedule, pipe.config.unet, pipe.config.vae
         control = P2PControl(spec)
+        srcfree_control = P2PControl(
+            dataclasses.replace(spec, uncond_rows=spec.batch_size - 1))
         inner = self.num_inner_steps
         prox, quantile, recon_lr, recon_t, dilate = self.prox
         inv_g = None
@@ -287,13 +290,20 @@ class BatchedDirectInversionP2P:
                 recon_lat = rows[:1]
             else:
                 is_direct = method.startswith("directinversion+p2p")
-                row_mask = (jnp.array([1.0, 0.0], pipe.dtype) if is_direct
-                            else jnp.zeros((2,), pipe.dtype))
-                gate = jnp.ones((sched.num_steps,), pipe.dtype)
-                rows = fused_direct_inversion_edit(
-                    unet_p, sched, ucfg, traj, cond, uncond2, g, control,
-                    tensors, row_mask, gate)
-                recon_lat = traj[0] if is_direct else rows[:1]
+                if is_direct:
+                    # full offsets: source row re-snaps to the trajectory, so
+                    # the dead uncond-source UNet row is dropped (3-row scan)
+                    rows = fused_direct_inversion_edit_srcfree(
+                        unet_p, sched, ucfg, traj, cond, uncond2, g,
+                        srcfree_control, tensors)
+                    recon_lat = traj[0]
+                else:
+                    row_mask = jnp.zeros((2,), pipe.dtype)
+                    gate = jnp.ones((sched.num_steps,), pipe.dtype)
+                    rows = fused_direct_inversion_edit(
+                        unet_p, sched, ucfg, traj, cond, uncond2, g, control,
+                        tensors, row_mask, gate)
+                    recon_lat = rows[:1]
             recon_img = latent_to_image(vae_p, recon_lat, vcfg)[0]
             edit_img = latent_to_image(vae_p, rows[-1:], vcfg)[0]
             return recon_img, edit_img

@@ -136,6 +136,56 @@ def fused_direct_inversion_edit(
     return latents
 
 
+def fused_direct_inversion_edit_srcfree(
+    params,
+    schedule: DDIMSchedule,
+    config: UNetConfig,
+    trajectory: Array,  # (T+1, 1, h, w, c) inversion trajectory
+    cond_embeddings: Array,  # (B, 77, D)
+    uncond_embeddings: Array,  # (B, 77, D)
+    guidance_scale: Array,
+    control: BaseControl,
+    tensors: Dict[str, Array],
+) -> Array:
+    """Full-offset DirectInversion edit in a (2B-1)-row scan.
+
+    With full offsets (scale 1, no skip) the source row of
+    ``fused_direct_inversion_edit`` re-snaps to the inversion trajectory every
+    step — ``stepped[:1]`` cancels out of ``stepped + (traj - stepped[:1])``,
+    so ``latents[0] == trajectory[T-1-i]`` identically. A cond-half controller
+    (P2P edits only ``attn[h//2:]``, attention_control.py:183-184) never reads
+    or writes the uncond half, so the uncond-source UNet row is dead compute:
+    its eps enters only the source row's CFG step, whose output the offset add
+    cancels. Dropping it cuts the UNet batch from 2B to 2B-1 rows (-25% FLOPs
+    at B=2) with identical math. Batch layout: [uncond x (B-1), cond x B].
+
+    ``control`` must use a spec with ``uncond_rows = B - 1``. NOT valid for
+    controllers that touch the uncond half (MasaCtrl mutual self-attention)
+    or for partial-offset ablations (scale/interval/add-target), where the
+    source row's own stepped latent is consumed.
+    """
+    T = schedule.num_steps
+    B = cond_embeddings.shape[0]
+    x_t = jnp.broadcast_to(trajectory[-1], (B,) + trajectory.shape[2:])
+    ctx = jnp.concatenate([uncond_embeddings[1:], cond_embeddings], axis=0)
+    state0 = control.init_state(B, x_t.dtype, heads=config.num_heads)
+
+    def body(carry, i):
+        latents, state = carry
+        t = schedule.timesteps[i]
+        x_in = jnp.concatenate([latents[1:], latents], axis=0)
+        eps2, state = unet_apply(
+            params, x_in, t, ctx, config, control, tensors, state, step=i)
+        eps_t = classifier_free_guidance(eps2[: B - 1], eps2[B:], guidance_scale)
+        stepped_t = ddim_step(schedule, eps_t, t, latents[1:])
+        latents = jnp.concatenate([trajectory[T - 1 - i], stepped_t], axis=0)
+        latents, state = control.step_callback(latents, tensors, state, i)
+        return (latents, state), ()
+
+    (latents, _), _ = jax.lax.scan(body, (x_t, state0), jnp.arange(T))
+    return latents
+
+
 def guidance_forward_single_branch(
     params,
     schedule: DDIMSchedule,

@@ -24,9 +24,13 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() == "cpu":
+        # TPU: a persistent-cache hit ships the >100MB executable back
+        # through the tunnel — slower than the server-side remote compile
+        # (docs/PERFORMANCE.md timing pitfalls)
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pnpinversion_tpu.configs import SD14
     from pnpinversion_tpu.control.p2p import make_p2p_control

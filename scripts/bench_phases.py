@@ -60,16 +60,13 @@ def main():
     rep("invert_50xb1", timed(editor._invert, pipe.params["unet"], latent,
                               cond[:1], iters=1))
 
-    from pnpinversion_tpu.inversion.ddim_inversion import make_step_gate
-    gate = make_step_gate(STEPS, 1.0, 1, dtype)
     spec, tensors = editor._make_control(prompts, 0.4, 0.6,
                                          (("cake",), ("cake",)),
                                          {"words": ("square",), "values": (2.0,)},
                                          False)
-    row_mask = jnp.array([1.0, 0.0], dtype)
     fused = editor._fused_direct(spec)
-    rep("fused_50xb8", timed(fused, pipe.params["unet"], traj, cond, uncond, g,
-                             tensors, row_mask, gate, iters=1))
+    rep("fused_srcfree", timed(fused, pipe.params["unet"], traj, cond, uncond, g,
+                               tensors, iters=1))
 
     dec = editor._decode_image
     rep("vae_decode", timed(dec, pipe.params["vae"], traj[0]))

@@ -22,7 +22,6 @@ def main():
 
     from pnpinversion_tpu.configs import SD14
     from pnpinversion_tpu.editors.p2p_editor import P2PEditor
-    from pnpinversion_tpu.inversion.ddim_inversion import make_step_gate
     from pnpinversion_tpu.pipeline import SDPipeline
 
     dtype = jnp.bfloat16
@@ -35,15 +34,13 @@ def main():
     latent = editor._encode_image(pipe.params["vae"], img)
     cond, uncond = editor._embeds(prompts)
     traj = editor._invert(pipe.params["unet"], latent, cond[:1])
-    gate = make_step_gate(50, 1.0, 1, dtype)
     spec, tensors = editor._make_control(prompts, 0.4, 0.6,
                                          (("cake",), ("cake",)),
                                          {"words": ("square",), "values": (2.0,)},
                                          False)
-    row_mask = jnp.array([1.0, 0.0], dtype)
     g = jnp.asarray(7.5, dtype)
     fused = editor._fused_direct(spec)
-    args = (pipe.params["unet"], traj, cond, uncond, g, tensors, row_mask, gate)
+    args = (pipe.params["unet"], traj, cond, uncond, g, tensors)
     jax.block_until_ready(fused(*args))  # compile
 
     os.system(f"rm -rf {TRACE_DIR}")
