@@ -4,9 +4,11 @@ architecture) on one chip. Prints ONE JSON line.
 
 Metric: effective seconds of device wall-clock per edited image — the best
 of (a) the single-image editor latency and (b) the dp-batched sweep path
-(parallel/sweep.BatchedDirectInversionP2P) at 2 images per chip, which is
-how the 700-image PIE-Bench sweep actually runs. Extra keys disclose both
-numbers and a per-phase breakdown of the single-image path.
+(parallel/sweep.BatchedDirectInversionP2P) at 4 images per chip (the best
+point of the 1/2/4/8 probe, scripts/bench_batched.py), which is how the
+700-image PIE-Bench sweep actually runs. Extra keys disclose both numbers
+and a per-phase breakdown of the single-image path. All timed dispatches
+use fresh inputs (the tunnel elides repeated identical dispatches).
 
 What is measured per image (vs the reference's four 50-step loops,
 models/p2p/inversion.py:308-391 + p2p_guidance_forward.py:135-173):
@@ -82,7 +84,9 @@ def main():
     n_iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        editor("directinversion+p2p", img, src, tar, **kwargs)
+        # fresh pixels per call (tunnel elision pitfall, docs/PERFORMANCE.md)
+        img_i = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
+        editor("directinversion+p2p", img_i, src, tar, **kwargs)
     s_single = (time.perf_counter() - t0) / n_iters
 
     # per-phase breakdown of the single-image path (device timings)
@@ -115,17 +119,22 @@ def main():
         eq_params={"words": ("square",), "values": (2,)},
         num_lb_slots=pipe.num_lb_slots, lb_res=pipe.lb_res,
         latent_size=pipe.latent_size)
-    nb = int(os.environ.get("PNPI_BENCH_BATCH", "2"))
-    imgs_b = jnp.asarray(np.stack([img] * nb))
+    nb = int(os.environ.get("PNPI_BENCH_BATCH", "4"))
     cond_b = jnp.asarray(np.stack([np.asarray(pipe.encode_prompt([src, tar]))] * nb))
     tens_b = jax.tree.map(lambda x: jnp.stack([x] * nb), tensors1)
     uncond2 = pipe.encode_prompt(["", ""])
+
+    def fresh_imgs():
+        # fresh pixels every dispatch: the tunnel elides repeated identical
+        # dispatches (docs/PERFORMANCE.md timing pitfalls)
+        return jnp.asarray((rng.rand(nb, 512, 512, 3) * 255).astype(np.uint8))
+
     jax.block_until_ready(sweep.edit_batch(
-        ctrl.spec, imgs_b, cond_b, uncond2, 7.5, tens_b))  # compile
+        ctrl.spec, fresh_imgs(), cond_b, uncond2, 7.5, tens_b))  # compile
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = sweep.edit_batch(ctrl.spec, imgs_b, cond_b, uncond2, 7.5, tens_b)
-    jax.block_until_ready(out)
+        out = sweep.edit_batch(ctrl.spec, fresh_imgs(), cond_b, uncond2, 7.5, tens_b)
+        jax.block_until_ready(out)
     s_batched = (time.perf_counter() - t0) / n_iters / nb
 
     best = min(s_single, s_batched)
