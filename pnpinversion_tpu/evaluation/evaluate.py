@@ -176,6 +176,29 @@ def _normalized_items(annotation: Dict, edit_category_list: List[str]):
             }
 
 
+def _retry_oom(fn, attempts: int = 3, waits=(15.0, 60.0)):
+    """Retry ``fn`` on RESOURCE_EXHAUSTED.
+
+    On the tunneled TPU backend the server reclaims a just-exited
+    process's HBM asynchronously, so an evaluation started immediately
+    after a big sweep can transiently fail its device_puts with
+    RESOURCE_EXHAUSTED (observed in the rehearsal harness; the identical
+    command succeeds moments later). Anything else re-raises immediately.
+    """
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # jax.errors.JaxRuntimeError has no stable base
+            if "RESOURCE_EXHAUSTED" not in str(exc) or i == attempts - 1:
+                raise
+            wait = waits[min(i, len(waits) - 1)]
+            print(f"eval: RESOURCE_EXHAUSTED (transient HBM reclaim?) — "
+                  f"retrying in {wait:.0f}s [{i + 1}/{attempts - 1}]")
+            _time.sleep(wait)
+
+
 def _evaluate_sharded(annotation: Dict, metrics: List[str],
                       src_image_folder: str, tgt_image_folders: Dict[str, str],
                       result_path: str, edit_category_list: List[str],
@@ -210,12 +233,12 @@ def _evaluate_sharded(annotation: Dict, metrics: List[str],
                           f" {exc!r}")
                     tgts.append(np.zeros_like(it["src"]))
                     bad.add(i)
-            out = ev.evaluate_batch(
+            out = _retry_oom(lambda: ev.evaluate_batch(
                 metrics,
                 np.stack([it["src"] for it in chunk]), np.stack(tgts),
                 np.stack([it["mask"] for it in chunk]),
                 [it["src_prompt"] for it in chunk],
-                [it["tgt_prompt"] for it in chunk])
+                [it["tgt_prompt"] for it in chunk]))
             for i, it in enumerate(chunk):
                 for m in metrics:
                     results[(it["file_id"], fkey, m)] = (

@@ -88,6 +88,30 @@ def _pad_tensors(chunk, batch, n_real):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *tb)
 
 
+class _PipelinedSaver:
+    """Defer the host-side strip decode/save by one chunk so it overlaps the
+    device compute of the next chunk: JAX dispatch is async — the block
+    happens at np.asarray inside _save_strips, so saving chunk i only after
+    chunk i+1 is dispatched keeps the device busy during PIL encode + disk
+    I/O (~0.3-0.4 s/chunk at 512px). main() flushes after the sweep."""
+
+    def __init__(self):
+        self._prev = None
+
+    def push(self, *a):
+        prev, self._prev = self._prev, a
+        if prev is not None:
+            _save_strips(*prev)
+
+    def flush(self):
+        prev, self._prev = self._prev, None
+        if prev is not None:
+            _save_strips(*prev)
+
+
+_SAVER = _PipelinedSaver()
+
+
 def _save_strips(chunk, images, recon, edit, size, logger, method):
     recon, edit = np.asarray(recon), np.asarray(edit)
     for i, e in enumerate(chunk):
@@ -141,7 +165,7 @@ def _sweep_p2p(pipe, mesh, pending, batch, size, logger,
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(cond),
                 jnp.asarray(uncond_b), g, tensors_b, method=method)
-            _save_strips(chunk, images, recon, edit, size, logger, method)
+            _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method):
@@ -156,7 +180,7 @@ def _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method):
         cond, _ = pad_batch(conds, batch)
         recon, edit = sweep.edit_batch(use_offsets, jnp.asarray(imgs),
                                        jnp.asarray(cond), 7.5)
-        _save_strips(chunk, images, recon, edit, size, logger, method)
+        _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_pnp(pipe, mesh, pending, batch, size, logger, method):
@@ -172,7 +196,7 @@ def _sweep_pnp(pipe, mesh, pending, batch, size, logger, method):
         recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
                                        jnp.asarray(cond_src),
                                        jnp.asarray(cond_tar), 7.5)
-        _save_strips(chunk, images, recon, edit, size, logger, method)
+        _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_ef(pipe, mesh, pending, batch, size, logger):
@@ -199,7 +223,7 @@ def _sweep_ef(pipe, mesh, pending, batch, size, logger):
             tensors_b = _pad_tensors(chunk, batch, n_real)
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(cond), 1.0, 7.5, tensors_b)
-            _save_strips(chunk, images, recon, edit, size, logger, method)
+            _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_bld(pipe, mesh, pending, batch, size, logger):
@@ -229,7 +253,7 @@ def _sweep_bld(pipe, mesh, pending, batch, size, logger):
         cond, _ = pad_batch(conds, batch)
         edit = sweep.edit_batch(jnp.asarray(imgs), masks_b, jnp.asarray(cond))
         zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
-        _save_strips(chunk, images, zeros, edit, size, logger, method)
+        _SAVER.push(chunk, images, zeros, edit, size, logger, method)
 
 
 def _sweep_edict(pipe, mesh, pending, batch, size, logger, method):
@@ -257,7 +281,7 @@ def _sweep_edict(pipe, mesh, pending, batch, size, logger, method):
         recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
                                        jnp.asarray(cond_src),
                                        jnp.asarray(cond_tar), tensors_b)
-        _save_strips(chunk, images, recon, edit, size, logger, method)
+        _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 def _sweep_instruct(pipe, mesh, pending, batch, size, logger, method):
@@ -277,7 +301,7 @@ def _sweep_instruct(pipe, mesh, pending, batch, size, logger, method):
         cond, _ = pad_batch(conds, batch)
         edit = sweep.edit_batch(method, jnp.asarray(imgs), jnp.asarray(cond))
         zeros = np.zeros((len(chunk), size, size, 3), np.uint8)
-        _save_strips(chunk, images, zeros, edit, size, logger, method)
+        _SAVER.push(chunk, images, zeros, edit, size, logger, method)
 
 
 def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
@@ -332,7 +356,7 @@ def _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args):
         recon, edit = sweep.edit_batch(method, jnp.asarray(imgs),
                                        jnp.asarray(cond),
                                        jnp.asarray(edit_dir, pipe.dtype))
-        _save_strips(chunk, images, recon, edit, size, logger, method)
+        _SAVER.push(chunk, images, recon, edit, size, logger, method)
 
 
 # test hooks: tiny configs override these module globals
@@ -374,7 +398,7 @@ def _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger,
             recon, edit = sweep.edit_batch(
                 spec, jnp.asarray(imgs), jnp.asarray(csrc), jnp.asarray(c2),
                 tensors_b, 7.5)
-            _save_strips(chunk, images, recon, edit, size, logger,
+            _SAVER.push(chunk, images, recon, edit, size, logger,
                          "stylediffusion+p2p")
 
 
@@ -384,7 +408,10 @@ def main(argv=None):
                         help="pix2pix-zero: JSON {image key: caption} instead of BLIP")
     parser.add_argument("--method", choices=METHODS,
                         default="directinversion+p2p")
-    parser.add_argument("--batch_per_device", type=int, default=1)
+    parser.add_argument("--batch_per_device", type=int, default=0,
+                        help="images per device per dispatch; 0 = auto "
+                             "(4 on TPU for the light fused-scan family — "
+                             "the probed optimum — 1 otherwise)")
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel factor: shard UNet matmul "
@@ -474,27 +501,41 @@ def main(argv=None):
     if not pending:
         print("nothing to do")
 
-    batch = n_dev * args.batch_per_device
-    if not pending:
-        pass
-    elif BatchedDirectInversionP2P.supports(method):
-        _sweep_p2p(pipe, mesh, pending, batch, size, logger, method)
-    elif method.endswith("masactrl"):
-        _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
-    elif method == "edit-friendly-inversion+p2p":
-        _sweep_ef(pipe, mesh, pending, batch, size, logger)
-    elif method == "blended-latent-diffusion":
-        _sweep_bld(pipe, mesh, pending, batch, size, logger)
-    elif method.startswith("edict"):
-        _sweep_edict(pipe, mesh, pending, batch, size, logger, method)
-    elif method.startswith("instruct"):
-        _sweep_instruct(pipe, mesh, pending, batch, size, logger, method)
-    elif method.endswith("pix2pix-zero"):
-        _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args)
-    elif method == "stylediffusion+p2p":
-        _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger)
-    else:
-        _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
+    bpd = args.batch_per_device
+    if bpd <= 0:
+        # auto: the on-chip 1/2/4/8 probe (scripts/bench_batched.py) puts the
+        # light fused-scan family at 4 images/device; heavier programs
+        # (inner optimization loops, SD2.1 shapes) stay at 1. CPU (tests,
+        # virtual meshes) stays at 1 — the probe is TPU-specific.
+        light = (method.startswith("directinversion+p2p")
+                 or method in ("ddim+p2p", "negative-prompt-inversion+p2p")
+                 or BatchedDirectInversionP2P.step_ablation_steps(method)
+                 is not None)
+        bpd = 4 if light and jax.default_backend() != "cpu" else 1
+    batch = n_dev * bpd
+    try:
+        if not pending:
+            pass
+        elif BatchedDirectInversionP2P.supports(method):
+            _sweep_p2p(pipe, mesh, pending, batch, size, logger, method)
+        elif method.endswith("masactrl"):
+            _sweep_masactrl(pipe, mesh, pending, batch, size, logger, method)
+        elif method == "edit-friendly-inversion+p2p":
+            _sweep_ef(pipe, mesh, pending, batch, size, logger)
+        elif method == "blended-latent-diffusion":
+            _sweep_bld(pipe, mesh, pending, batch, size, logger)
+        elif method.startswith("edict"):
+            _sweep_edict(pipe, mesh, pending, batch, size, logger, method)
+        elif method.startswith("instruct"):
+            _sweep_instruct(pipe, mesh, pending, batch, size, logger, method)
+        elif method.endswith("pix2pix-zero"):
+            _sweep_p2z(pipe, mesh, pending, batch, size, logger, method, args)
+        elif method == "stylediffusion+p2p":
+            _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger)
+        else:
+            _sweep_pnp(pipe, mesh, pending, batch, size, logger, method)
+    finally:
+        _SAVER.flush()
 
     if jax.process_count() > 1:
         per_proc = multihost.allreduce_metrics(

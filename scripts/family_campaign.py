@@ -70,8 +70,14 @@ def build_demo(data_path: str, n: int) -> None:
 
 
 def steady_s_per_image(run_log: str):
-    """Median gap between consecutive image_done events (first gap holds the
-    compile; with >=3 images the median reflects steady state)."""
+    """Steady-state s/image from image_done timestamps.
+
+    The pipelined saver makes saves bursty (a whole chunk's image_done
+    events land within ~0.3 s while the next chunk computes), so a plain
+    median inter-image gap reads near zero. Group events into bursts
+    (>1 s gap starts a new burst) and take the median inter-burst span
+    divided by the burst size; with batch 1 every image is its own burst
+    and this degenerates to the old median-gap estimator."""
     ts = []
     try:
         with open(run_log) as f:
@@ -83,8 +89,17 @@ def steady_s_per_image(run_log: str):
         return None, 0
     if len(ts) < 2:
         return None, len(ts)
-    gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
-    return gaps[len(gaps) // 2], len(ts)
+    bursts = [[ts[0]]]
+    for a, b in zip(ts, ts[1:]):
+        if b - a > 1.0:
+            bursts.append([])
+        bursts[-1].append(b)
+    if len(bursts) < 2:
+        gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+        return gaps[len(gaps) // 2], len(ts)
+    size = max(len(b) for b in bursts)
+    spans = sorted(b2[0] - b1[0] for b1, b2 in zip(bursts, bursts[1:]))
+    return spans[len(spans) // 2] / size, len(ts)
 
 
 def main():

@@ -36,13 +36,26 @@ DEFAULT_METHODS = ["directinversion+p2p", "directinversion+masactrl",
 
 
 def gaps(run_log):
+    """Inter-burst gaps normalized per image (see
+    family_campaign.steady_s_per_image: the pipelined saver makes saves
+    bursty, one burst per device chunk)."""
     ts = []
     with open(run_log) as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("event") == "image_done":
                 ts.append(rec["ts"])
-    return [b - a for a, b in zip(ts, ts[1:])], len(ts)
+    if len(ts) < 2:
+        return [], len(ts)
+    bursts = [[ts[0]]]
+    for a, b in zip(ts, ts[1:]):
+        if b - a > 1.0:
+            bursts.append([])
+        bursts[-1].append(b)
+    if len(bursts) < 2:
+        return [b - a for a, b in zip(ts, ts[1:])], len(ts)
+    size = max(len(b) for b in bursts)
+    return [(b2[0] - b1[0]) / size for b1, b2 in zip(bursts, bursts[1:])], len(ts)
 
 
 def main():
@@ -89,13 +102,20 @@ def main():
            if report["methods"][m]["rc"] == 0]
     csv_path = os.path.join(args.workdir, "rehearsal_eval.csv")
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pnpinversion_tpu.evaluation.evaluate",
-         "--annotation_mapping_file", os.path.join(data, "mapping_file.json"),
-         "--src_image_folder", os.path.join(data, "annotation_images"),
-         "--output_root", outroot, "--tgt_methods", *tgt,
-         "--result_path", csv_path, "--sharded"],
-        capture_output=True, text=True, timeout=args.timeout, cwd=REPO)
+    cmd = [sys.executable, "-m", "pnpinversion_tpu.evaluation.evaluate",
+           "--annotation_mapping_file", os.path.join(data, "mapping_file.json"),
+           "--src_image_folder", os.path.join(data, "annotation_images"),
+           "--output_root", outroot, "--tgt_methods", *tgt,
+           "--result_path", csv_path, "--sharded"]
+    for attempt in range(2):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=args.timeout, cwd=REPO)
+        if proc.returncode == 0 or "RESOURCE_EXHAUSTED" not in proc.stderr:
+            break
+        # the tunnel server reclaims the just-exited sweep's HBM
+        # asynchronously; an immediate eval start can transiently OOM
+        print("eval hit RESOURCE_EXHAUSTED; retrying in 60s", flush=True)
+        time.sleep(60)
     eval_wall = time.time() - t0
     n_rows = args.images * len(tgt)
     report["eval"] = {"wall_s": round(eval_wall, 1), "rc": proc.returncode,
