@@ -194,10 +194,12 @@ def null_text_optimization(
             init = (uncond, opt.init(uncond), jnp.int32(0), jnp.float32(jnp.inf))
             uncond, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
 
-        # advance with the optimized embedding (inversion.py:222-224)
-        ctx = jnp.concatenate([uncond, cond_embedding], axis=0)
-        eps2 = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, ctx, config)
-        eps = classifier_free_guidance(eps2[:1], eps2[1:], guidance_scale)
+        # advance with the optimized embedding (inversion.py:222-224); the
+        # cond row of the reference's b=2 call is exactly eps_cond from the
+        # top of this step (same latent/t/context), so only the uncond row
+        # is recomputed here
+        eps_uncond = _eps(params, latent_cur, t, uncond, config)
+        eps = classifier_free_guidance(eps_uncond, eps_cond, guidance_scale)
         latent_cur = ddim_step(schedule, eps, t, latent_cur)
         return (latent_cur, uncond), uncond
 
@@ -236,11 +238,15 @@ def null_latent_offsets(
         lr = 1e-2 * (1.0 - i.astype(jnp.float32) / 100.0)
         opt = optax.adam(learning_rate=1.0)
         thr = epsilon + i.astype(jnp.float32) * 2e-5
+        # the cond rows of every b=2B call in this step (reference's inner
+        # Adam loop :430-446 AND both post-loop reconstructions :449-454)
+        # see the same (latent_cur, t, cond) — the UNet is batch-pointwise,
+        # so compute them once instead of 10+2 times
+        eps_cond = _eps(params, latent_cur, t, cond, config)
 
         def loss_fn(u):
-            ctx = jnp.concatenate([u, cond], axis=0)
-            eps2 = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, ctx, config)
-            eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
+            eps_uncond = _eps(params, latent_cur, t, u, config)
+            eps = classifier_free_guidance(eps_uncond, eps_cond, guidance_scale)
             rec = ddim_step(schedule, eps, t, latent_cur)
             # f32 reduction (see null_text_optimization)
             d = (rec[:1] - latent_prev[:1]).astype(jnp.float32)
@@ -262,13 +268,12 @@ def null_latent_offsets(
             uncond, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
 
         # plain-CFG reconstruction with the ORIGINAL context (:449-452)
-        eps2 = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, context, config)
-        eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
+        eps_u0 = _eps(params, latent_cur, t, uncond0, config)
+        eps = classifier_free_guidance(eps_u0, eps_cond, guidance_scale)
         prev_rec = ddim_step(schedule, eps, t, latent_cur)
         # optimized-context step, row 0 broadcast (:454)
-        ctx_opt = jnp.concatenate([uncond, cond], axis=0)
-        eps2o = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, ctx_opt, config)
-        epso = classifier_free_guidance(eps2o[:B], eps2o[B:], guidance_scale)
+        eps_uo = _eps(params, latent_cur, t, uncond, config)
+        epso = classifier_free_guidance(eps_uo, eps_cond, guidance_scale)
         lat_opt0 = ddim_step(schedule, epso, t, latent_cur)[:1]
         loss = jnp.broadcast_to(lat_opt0, prev_rec.shape) - prev_rec
         return (prev_rec + loss, uncond), loss
