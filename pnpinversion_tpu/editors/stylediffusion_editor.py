@@ -4,7 +4,9 @@ stylediffusion+p2p: VaeInversion trains per-step mapping networks that turn
 CLIP image tokens into a learned prompt-value embedding; editing then runs
 two batch-2 passes (recon with v_replace=1.0 + AttentionStore, edit with the
 tau-parameterized P2P controller; taus v=.5, c=.6, s=.6, u=.0, :252-255).
-Output strip: [instruction | gt | recon pass row 0 | edit pass row 1].
+Replace-vs-Refine is the reference's char-length rule (:181, see
+``stylediffusion_is_replace``). Output strip:
+[instruction | gt | recon pass row 0 | edit pass row 1].
 """
 from __future__ import annotations
 
@@ -35,6 +37,24 @@ from pnpinversion_tpu.utils.image import make_strip, txt_draw
 
 CLIP_VIT_B16 = vit.ViTConfig(image_size=224, patch_size=16, width=768, layers=12,
                              heads=12, projection_dim=512)
+
+
+def stylediffusion_is_replace(prompt_src: str, prompt_tar: str) -> bool:
+    """The reference's Replace-vs-Refine rule for stylediffusion+p2p.
+
+    run_editing_stylediffusion.py:181 ignores the runner's
+    is_replace_controller=False argument and selects AttentionReplace when
+    ``len(prompt_src.strip(" ")) == len(prompt_tar.strip(" "))`` — CHARACTER
+    length equality of the space-stripped prompts, not word count.
+
+    When that rule fires but the word counts differ, the reference's
+    get_replacement_mapper_ raises (seq_aligner requires equal word counts)
+    and its sweep process dies on that image; behavior there is undefined,
+    so we degrade to Refine — the only controller that can run.
+    """
+    if len(prompt_src.strip(" ")) != len(prompt_tar.strip(" ")):
+        return False
+    return len(prompt_src.split(" ")) == len(prompt_tar.split(" "))
 
 
 class StyleDiffusionEditor:
@@ -126,10 +146,12 @@ class StyleDiffusionEditor:
                              tensors_recon, zeros, rm)
         recon = np.asarray(dec(pipe.params["vae"], recon_lat[:1]))[0]
 
-        # 4) edit pass with taus. The reference never selects a Replace
-        # controller here: run_editing_stylediffusion.py:253 hardcodes
-        # is_replace_controller=False (refine-only), regardless of prompts.
-        is_replace = bool(is_replace_controller) if is_replace_controller is not None else False
+        # 4) edit pass with taus. The reference ignores the runner's
+        # is_replace_controller=False (:253) — :181 selects Replace by
+        # char-length equality of the stripped prompts (stylediffusion_is_replace)
+        is_replace = (bool(is_replace_controller)
+                      if is_replace_controller is not None
+                      else stylediffusion_is_replace(prompt_src, prompt_tar))
         p2p, p2p_tensors = make_p2p_control(
             prompts, pipe.tokenizer, num_steps=T,
             cross_replace_steps={"default_": tau_c}, self_replace_steps=tau_s,

@@ -271,11 +271,20 @@ def null_latent_offsets(
         eps_u0 = _eps(params, latent_cur, t, uncond0, config)
         eps = classifier_free_guidance(eps_u0, eps_cond, guidance_scale)
         prev_rec = ddim_step(schedule, eps, t, latent_cur)
-        # optimized-context step, row 0 broadcast (:454)
-        eps_uo = _eps(params, latent_cur, t, uncond, config)
-        epso = classifier_free_guidance(eps_uo, eps_cond, guidance_scale)
-        lat_opt0 = ddim_step(schedule, epso, t, latent_cur)[:1]
-        loss = jnp.broadcast_to(lat_opt0, prev_rec.shape) - prev_rec
+        # optimized-context step for the FULL batch (:454 —
+        # get_noise_pred(...)[0] indexes prev_step's
+        # (prev_sample, difference_scale) tuple (:247-260,:287), i.e. the
+        # whole-batch reconstruction, not batch row 0). Rows 1+ of the
+        # optimized uncond are untouched by the inner Adam loop (the row-0
+        # loss gives them exactly zero grad, so Adam's update is exactly
+        # zero), so their optimized step equals prev_rec bit-for-bit and
+        # loss rows 1+ are exactly zero — only row 0 needs the extra UNet
+        # row; rows 1+ of the carry stay on the plain-CFG reconstruction.
+        eps_uo0 = _eps(params, latent_cur[:1], t, uncond[:1], config)
+        epso0 = classifier_free_guidance(eps_uo0, eps_cond[:1], guidance_scale)
+        lat_opt0 = ddim_step(schedule, epso0, t, latent_cur[:1])
+        loss = jnp.concatenate(
+            [lat_opt0 - prev_rec[:1], jnp.zeros_like(prev_rec[1:])], axis=0)
         return (prev_rec + loss, uncond), loss
 
     (_, _), losses = jax.lax.scan(outer, (latent0, uncond0), jnp.arange(T))

@@ -375,14 +375,21 @@ def _sweep_stylediffusion(pipe, mesh, pending, batch, size, logger,
     sweep = BatchedStyleDiffusion(pipe, mesh=mesh,
                                   clip_vision_cfg=clip_vision_cfg,
                                   num_inner_steps=num_inner_steps)
-    # reference passes blend_word=None/eq_params=None and refine-only
-    # (run_editing_stylediffusion.py:249-258); taus v=.5 c=.6 s=.6 u=.0
+    # reference passes blend_word=None/eq_params=None
+    # (run_editing_stylediffusion.py:249-258); taus v=.5 c=.6 s=.6 u=.0;
+    # Replace-vs-Refine is the char-length rule at :181
+    from pnpinversion_tpu.editors.stylediffusion_editor import (
+        stylediffusion_is_replace,
+    )
+
     for e in pending:
+        src, tar = e["item"].source_prompt, e["item"].target_prompt
         ctrl, tensors = make_p2p_control(
-            [e["item"].source_prompt, e["item"].target_prompt], pipe.tokenizer,
+            [src, tar], pipe.tokenizer,
             num_steps=pipe.schedule.num_steps,
             cross_replace_steps={"default_": 0.6}, self_replace_steps=0.6,
-            is_replace_controller=False, num_lb_slots=pipe.num_lb_slots,
+            is_replace_controller=stylediffusion_is_replace(src, tar),
+            num_lb_slots=pipe.num_lb_slots,
             lb_res=pipe.lb_res, latent_size=pipe.latent_size)
         e["spec"], e["tensors"] = ctrl.spec, tensors
     for spec, group in group_items_by_spec(pending, lambda e: e["spec"]).items():

@@ -1,9 +1,15 @@
 """The null-text / null-latent loops compute the cond UNet rows once per
-outer step instead of inside every inner Adam iteration (the UNet is
-batch-pointwise, so the reference's fat b=2B calls
-(/root/reference/models/p2p/inversion.py:196-225, :419-460) recompute
-identical cond rows 10+ times per step). These tests pin the split-batch
-implementations against a verbatim fat-batch transcription."""
+outer step and reuse them wherever the reference recomputes them (the
+UNet is batch-pointwise, so cond rows don't depend on the optimized
+uncond embedding). The savings differ by method: the reference's
+null-latent ablation (/root/reference/models/p2p/inversion.py:419-460)
+runs fat b=2B [uncond, cond] batches in the inner Adam loop AND both
+post-loop reconstructions — 10+ redundant cond rows per outer step —
+while the reference's null-text loop (:196-225) already hoists the cond
+prediction out of the inner loop under no_grad (:207-208), so only its
+once-per-step advance (:222-224) carries a redundant cond row (~3%).
+These tests pin the split-batch implementations against verbatim
+fat-batch transcriptions."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,12 +138,15 @@ def _fat_null_latent(params, schedule, trajectory, context, guidance_scale,
                     config)
         eps = classifier_free_guidance(eps2[:B], eps2[B:], guidance_scale)
         prev_rec = ddim_step(schedule, eps, t, latent_cur)
+        # :454 — get_noise_pred(...)[0] indexes prev_step's
+        # (prev_sample, difference_scale) tuple (:247-260,:287): the FULL
+        # batch optimized-context reconstruction, not batch row 0.
         ctx_opt = jnp.concatenate([uncond, cond], axis=0)
         eps2o = _eps(params, jnp.concatenate([latent_cur] * 2, axis=0), t, ctx_opt,
                      config)
         epso = classifier_free_guidance(eps2o[:B], eps2o[B:], guidance_scale)
-        lat_opt0 = ddim_step(schedule, epso, t, latent_cur)[:1]
-        loss = jnp.broadcast_to(lat_opt0, prev_rec.shape) - prev_rec
+        lat_opt = ddim_step(schedule, epso, t, latent_cur)
+        loss = lat_opt - prev_rec
         return (prev_rec + loss, uncond), loss
 
     (_, _), losses = jax.lax.scan(outer, (latent0, uncond0), jnp.arange(T))

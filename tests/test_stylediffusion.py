@@ -98,23 +98,39 @@ def test_stylediffusion_editor_runs():
     assert np.isfinite(arr).all()
 
 
-def test_stylediffusion_refine_only_controller():
-    """Reference run_editing_stylediffusion.py:253 always passes
-    is_replace_controller=False. Round-1 regression: a char-length (not word
-    count!) comparison selected a Replace controller whenever char counts
-    matched, crashing get_replacement_mapper_single on prompts with equal
-    char-length but different word counts. These prompts hit exactly that."""
-    from pnpinversion_tpu.editors.stylediffusion_editor import StyleDiffusionEditor
+def test_stylediffusion_replace_rule():
+    """Reference run_editing_stylediffusion.py:181 ignores the runner's
+    is_replace_controller=False (:253) and selects AttentionReplace by
+    CHARACTER-length equality of the space-stripped prompts. Where that rule
+    fires but word counts differ, the reference's get_replacement_mapper_
+    raises and its sweep dies; we degrade to Refine there."""
+    from pnpinversion_tpu.editors.stylediffusion_editor import (
+        stylediffusion_is_replace,
+    )
 
+    # char lengths equal, word counts equal -> Replace (reference behavior)
+    assert stylediffusion_is_replace("a cat on a mat", "a dog on a mat")
+    # char lengths differ -> Refine even though word counts match
+    assert not stylediffusion_is_replace("a cat on a mat", "a tiger on a mat")
+    # char lengths equal but word counts differ -> reference crashes;
+    # we fall back to Refine
     src, tar = "a cat sat", "bigredcat"  # 9 chars each; 3 words vs 1 word
     assert len(src) == len(tar) and len(src.split()) != len(tar.split())
+    assert not stylediffusion_is_replace(src, tar)
+
+
+def test_stylediffusion_char_equal_prompts_run():
+    """End-to-end: char-equal word-unequal prompts (the reference's crash
+    case) must still produce a strip via the Refine fallback."""
+    from pnpinversion_tpu.editors.stylediffusion_editor import StyleDiffusionEditor
 
     pipe = SDPipeline.create(TINY, rng=jax.random.PRNGKey(31), num_ddim_steps=4)
     editor = StyleDiffusionEditor(pipe, clip_vision_cfg=TINY_CLIP)
     rng = np.random.RandomState(10)
     size = pipe.config.vae.sample_size
     img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
-    strip = editor("stylediffusion+p2p", img, src, tar, num_inner_steps=1)
+    strip = editor("stylediffusion+p2p", img, "a cat sat", "bigredcat",
+                   num_inner_steps=1)
     arr = np.asarray(strip)
     assert arr.shape == (size, 4 * size, 3)
     assert np.isfinite(arr).all()
