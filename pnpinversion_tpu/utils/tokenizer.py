@@ -327,11 +327,24 @@ class BertWordPieceTokenizer:
 
 
 @functools.lru_cache(maxsize=4)
+def _cached_bpe(vocab_dir: str) -> "CLIPBPETokenizer":
+    return CLIPBPETokenizer(vocab_dir)
+
+
 def default_tokenizer(vocab_dir: Optional[str] = None):
-    """CLIP BPE if vocab files are locally available, else the word tokenizer."""
+    """CLIP BPE if vocab files are locally available, else the word tokenizer.
+
+    Only the BPE tokenizer (stateless, file-backed) is cached.
+    SimpleWordTokenizer grows its vocab lazily from the texts it sees, so a
+    process-wide shared instance makes word ids — and anything pinned on
+    them, e.g. the CLIP-text metric goldens — depend on which caller encoded
+    first. Each call gets a fresh instance; consumers thread one object
+    through their own flow (pipe.tokenizer, calc.tokenizer), which is all
+    the consistency the word ids need.
+    """
     if vocab_dir is not None:
         try:
-            return CLIPBPETokenizer(vocab_dir)
+            return _cached_bpe(vocab_dir)
         except FileNotFoundError:
             pass
     return SimpleWordTokenizer()

@@ -78,17 +78,19 @@ def steady_s_per_image(run_log: str):
     (>1 s gap starts a new burst) and take the median inter-burst span
     divided by the burst size; with batch 1 every image is its own burst
     and this degenerates to the old median-gap estimator."""
-    ts = []
+    ts, keys = [], set()
     try:
         with open(run_log) as f:
             for line in f:
                 rec = json.loads(line)
                 if rec.get("event") == "image_done":
                     ts.append(rec["ts"])
+                    keys.add(rec.get("key"))
     except FileNotFoundError:
         return None, 0
+    n_done = len(keys) if keys else len(ts)
     if len(ts) < 2:
-        return None, len(ts)
+        return None, n_done
     bursts = [[ts[0]]]
     for a, b in zip(ts, ts[1:]):
         if b - a > 1.0:
@@ -96,10 +98,10 @@ def steady_s_per_image(run_log: str):
         bursts[-1].append(b)
     if len(bursts) < 2:
         gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
-        return gaps[len(gaps) // 2], len(ts)
+        return gaps[len(gaps) // 2], n_done
     size = max(len(b) for b in bursts)
     spans = sorted(b2[0] - b1[0] for b1, b2 in zip(bursts, bursts[1:]))
-    return spans[len(spans) // 2] / size, len(ts)
+    return spans[len(spans) // 2] / size, n_done
 
 
 def main():
@@ -113,7 +115,17 @@ def main():
     args = ap.parse_args()
 
     data = os.path.join(args.workdir, "data")
-    if not os.path.exists(os.path.join(data, "mapping_file.json")):
+    mapping_path = os.path.join(data, "mapping_file.json")
+    if os.path.exists(mapping_path):
+        # the demo set is cached across invocations; a stale set with a
+        # different size silently skewed the recorded "images" field
+        # (r3 records showed images:8/done:4 and images:4/done:8)
+        with open(mapping_path) as f:
+            n_have = len(json.load(f))
+        if n_have != args.images:
+            import shutil
+            shutil.rmtree(data)
+    if not os.path.exists(mapping_path):
         build_demo(data, args.images)
 
     results = {}
@@ -124,6 +136,10 @@ def main():
     for method in args.methods:
         outdir = os.path.join(args.workdir, "out", method.replace("/", "_"))
         log = os.path.join(args.workdir, f"log_{method.replace('/', '_')}.jsonl")
+        if os.path.exists(outdir):
+            # skip-existing would turn a rerun into a no-op "measurement"
+            import shutil
+            shutil.rmtree(outdir)
         if os.path.exists(log):
             os.remove(log)
         cmd = [sys.executable, os.path.join(REPO, "runners", "run_sweep_sharded.py"),
