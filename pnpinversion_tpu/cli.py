@@ -70,6 +70,20 @@ def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParse
                    help="JSONL run log (per-image timings/errors)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="xprof trace dir (profiles the first edited image)")
+    class _QuantAction(argparse.Action):
+        # export at parse time: every runner builds its SDPipeline (which
+        # reads PNPI_QUANT) right after parse_args, before any hook point
+        def __call__(self, parser, namespace, values, option_string=None):
+            setattr(namespace, self.dest, values)
+            os.environ["PNPI_QUANT"] = "" if values == "none" else values
+
+    p.add_argument("--quant", type=str, default=None, choices=["none", "int8"],
+                   action=_QuantAction,
+                   help="opt-in w8a8 int8 UNet transformer matmuls "
+                        "(~1.9x faster dots on the v5e MXU; deviates from "
+                        "the reference's fp numerics — validate metrics on "
+                        "real weights before production use). Also settable "
+                        "via PNPI_QUANT=int8.")
     return p
 
 

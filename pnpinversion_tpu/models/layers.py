@@ -57,6 +57,10 @@ def init_norm(ch: int) -> Params:
 # ---------------------------------------------------------------------------
 
 def linear(p: Params, x: Array) -> Array:
+    if "kernel_q8" in p:  # opt-in int8 layout (ops/quant.py)
+        from pnpinversion_tpu.ops.quant import qlinear
+
+        return qlinear(p, x)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

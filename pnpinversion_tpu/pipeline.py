@@ -81,8 +81,15 @@ class SDPipeline:
         tokenizer=None,
         checkpoint_dir: Optional[str] = None,
         dtype=jnp.float32,
+        quantize: Optional[str] = None,
     ) -> "SDPipeline":
-        """Random-weight pipeline, or load a converted checkpoint when given."""
+        """Random-weight pipeline, or load a converted checkpoint when given.
+
+        quantize="int8" (or env PNPI_QUANT=int8) rewrites the UNet's
+        transformer matmuls into the opt-in w8a8 layout (ops/quant.py):
+        ~1.9x faster dots on the v5e MXU, at a quality cost that must be
+        validated on real weights. The VAE / text encoder / convs stay float.
+        """
         # the init jit below is the first compile of a runner process; make
         # sure the CPU persistent cache is configured before it (runners used
         # to rely on standard_argparser doing this, which broke multi-host)
@@ -125,6 +132,18 @@ class SDPipeline:
                 # instead of the ~3000-RNG-chain per-leaf one (~90s)
                 params = jax.jit(
                     lambda k: fast_random_like(k, _init))(rng)
+        import os
+
+        quant = quantize or os.environ.get("PNPI_QUANT", "").lower() or None
+        if quant not in (None, "none", ""):
+            if quant != "int8":
+                raise ValueError(f"unknown quantize mode {quant!r}")
+            from pnpinversion_tpu.ops.quant import quantize_unet_dots
+
+            # one jitted dispatch for the whole rewrite (hundreds of
+            # per-layer quantize ops otherwise each pay a tunnel round trip)
+            params = dict(params)
+            params["unet"] = jax.jit(quantize_unet_dots)(params["unet"])
         tokenizer = tokenizer or default_tokenizer()
         schedule = make_ddim_schedule(num_steps=num_ddim_steps)
         return cls(config=config, params=params, tokenizer=tokenizer,

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Device-time comparison of the fused directinversion+p2p scan with the
+stock bf16 params vs the opt-in int8 (w8a8) transformer-matmul params
+(ops/quant.py). Prints per-op-type aggregates from xprof for both."""
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRACE_DIR = "/tmp/quant_trace"
+
+
+def device_table(fn, args):
+    jax.block_until_ready(fn(*args))  # compile
+    os.system(f"rm -rf {TRACE_DIR}")
+    with jax.profiler.trace(TRACE_DIR):
+        jax.block_until_ready(fn(*args))
+    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        xplanes, "framework_op_stats", {"tqx": "out:csv;"})
+    if isinstance(data, bytes):
+        data = data.decode()
+    table = json.loads(data)
+    table = table[0] if isinstance(table, list) else table
+    ids = [c["id"] for c in table["cols"]]
+    agg = {}
+    for row in table["rows"]:
+        r = dict(zip(ids, [c.get("v") for c in row["c"]]))
+        if r.get("host_or_device") != "Device":
+            continue
+        agg[r["type"]] = agg.get(r["type"], 0.0) + float(r["total_self_time"] or 0)
+    return agg
+
+
+def main():
+    from pnpinversion_tpu.configs import SD14
+    from pnpinversion_tpu.editors.p2p_editor import P2PEditor
+    from pnpinversion_tpu.ops.quant import quantize_unet_dots
+    from pnpinversion_tpu.pipeline import SDPipeline
+
+    dtype = jnp.bfloat16
+    pipe = SDPipeline.create(SD14, rng=jax.random.PRNGKey(0),
+                             num_ddim_steps=50, dtype=dtype)
+    editor = P2PEditor(pipe)
+    rng = np.random.RandomState(1234)
+    img = jnp.asarray((rng.rand(512, 512, 3) * 255).astype(np.uint8))
+    prompts = ["a round cake on a plate", "a square cake on a plate"]
+    latent = editor._encode_image(pipe.params["vae"], img)
+    cond, uncond = editor._embeds(prompts)
+    traj = editor._invert(pipe.params["unet"], latent, cond[:1])
+    spec, tensors = editor._make_control(prompts, 0.4, 0.6,
+                                         (("cake",), ("cake",)),
+                                         {"words": ("square",), "values": (2.0,)},
+                                         False)
+    g = jnp.asarray(7.5, dtype)
+    fused = editor._fused_direct(spec)
+    qunet = quantize_unet_dots(pipe.params["unet"])
+
+    for tag, unet in [("bf16", pipe.params["unet"]), ("int8", qunet)]:
+        agg = device_table(fused, (unet, traj, cond, uncond, g, tensors))
+        tot = sum(agg.values())
+        print(f"\n== {tag}: total device {tot/1e3:.1f} ms ==")
+        for t, us in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"  {t:28s} {us/1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
