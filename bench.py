@@ -27,6 +27,11 @@ vs_baseline compares against REF_A100_SECONDS, a derived estimate of the
 reference PyTorch pipeline on A100 (no machine-readable number is published;
 see BASELINE.md): 650 UNet sample-forwards/image at fp32 ~23ms each ≈ 15s,
 plus VAE/text/Python-controller overhead ≈ 18s/image.
+
+Extra keys also report the opt-in weight-only int8 mode (PNPI_QUANT=w8,
+ops/quant.py) on the batched path — faster, but excluded from the headline
+because it deviates from the reference's fp numerics (disable with
+PNPI_BENCH_W8=0).
 """
 import json
 import os
@@ -137,6 +142,26 @@ def main():
         jax.block_until_ready(out)
     s_batched = (time.perf_counter() - t0) / n_iters / nb
 
+    # ---- secondary: opt-in weight-only int8 (PNPI_QUANT=w8) on the same
+    # batched path. NOT the headline (it deviates from the reference's fp
+    # numerics by <1% per-weight rounding; validate on real weights), but the
+    # production sweep can opt in for the extra speed.
+    extra = {}
+    if on_tpu and os.environ.get("PNPI_BENCH_W8", "1") != "0":
+        pipe_w8 = SDPipeline.create(SD14, rng=jax.random.PRNGKey(0),
+                                    num_ddim_steps=STEPS, dtype=dtype,
+                                    quantize="w8")
+        sweep_w8 = BatchedDirectInversionP2P(pipe_w8, make_dp_mesh(1))
+        jax.block_until_ready(sweep_w8.edit_batch(
+            ctrl.spec, fresh_imgs(), cond_b, uncond2, 7.5, tens_b))  # compile
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            jax.block_until_ready(sweep_w8.edit_batch(
+                ctrl.spec, fresh_imgs(), cond_b, uncond2, 7.5, tens_b))
+        s_w8 = (time.perf_counter() - t0) / n_iters / nb
+        extra = {f"w8_batch{nb}_s_per_image": round(s_w8, 4),
+                 "w8_vs_baseline": round(REF_A100_SECONDS / s_w8, 3)}
+
     best = min(s_single, s_batched)
     print(json.dumps({
         "metric": "directinversion+p2p_seconds_per_image",
@@ -150,6 +175,7 @@ def main():
         "phases_single_s": {"invert_50xb1": round(t_invert, 4),
                             "fused_offsets_edit_50xb3": round(t_fused, 4),
                             "vae_decode_x2": round(t_vae, 4)},
+        **extra,
     }))
 
 

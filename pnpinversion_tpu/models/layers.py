@@ -57,7 +57,7 @@ def init_norm(ch: int) -> Params:
 # ---------------------------------------------------------------------------
 
 def linear(p: Params, x: Array) -> Array:
-    if "kernel_q8" in p:  # opt-in int8 layout (ops/quant.py)
+    if "kernel_w8" in p:  # opt-in weight-only int8 layout (ops/quant.py)
         from pnpinversion_tpu.ops.quant import qlinear
 
         return qlinear(p, x)
@@ -68,6 +68,26 @@ def linear(p: Params, x: Array) -> Array:
 
 
 def conv2d(p: Params, x: Array, stride: int = 1, padding="SAME") -> Array:
+    if "kernel_w8" in p:  # opt-in weight-only int8 layouts (ops/quant.py)
+        if p["kernel_w8"].ndim == 2:
+            # 1x1 stride-1 convs are flattened to per-pixel matmuls
+            assert stride == 1
+            from pnpinversion_tpu.ops.quant import qlinear
+
+            return qlinear(p, x)
+        # kxk: dequantize into the conv's weight-operand read; the
+        # per-output-channel scale folds into the bias epilogue
+        y = jax.lax.conv_general_dilated(
+            x,
+            p["kernel_w8"].astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y * p["kernel_scale"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),

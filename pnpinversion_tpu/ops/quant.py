@@ -1,31 +1,42 @@
-"""Opt-in int8 (w8a8) path for the UNet's transformer matmuls.
+"""Opt-in weight-only int8 (w8) storage for the UNet's weights.
 
-The v5e MXU runs int8xint8->int32 at 2x the bf16 rate, and XLA lowers
-``dot_general`` (NOT conv) to that path — measured 1.7-1.96x at the SD1.4
-projection/FFN shapes (scripts/microbench_int8.py; int8 conv measured
-neutral, so convs stay bf16). The UNet's dot_general pool is ~20% of the
-fused-scan device time, so this buys a high-single-digit percent end to end.
+What was measured on the v5e (scripts/microbench_int8.py +
+scripts/profile_quant.py, 50-step b=3 fused directinversion+p2p scan,
+512px, device time from xprof):
 
-Scheme (standard dynamic w8a8):
-- weights: symmetric per-output-channel int8, quantized ONCE
-  (``quantize_unet_dots``) into a parallel param layout that
-  ``models.layers.linear`` dispatches on (``kernel_q8`` + ``kernel_scale``);
-- activations: symmetric per-token (last-dim abs-max) int8, quantized
-  dynamically in f32 at each call;
-- the int32 product is rescaled by (act_scale x weight_scale) in f32 and
-  cast back to the activation dtype.
+- dynamic w8a8 (per-token int8 activations feeding int8 MXU dots) is
+  REFUTED end to end despite the int8 MXU running the isolated dots
+  1.7-1.96x faster than bf16: the per-token absmax re-reads every
+  activation the producer just wrote (+147 ms of reduce_max per scan) and
+  the quantize/rescale elementwise inflates the surrounding fusions
+  (+270 ms attributed to conv fusions), netting 1765 ms vs 1554 ms bf16
+  (+13%). Sharing one activation quantization across q/k/v changed
+  nothing — XLA had already CSE'd the identical absmax expressions.
+- weight-only int8 (this module) WINS: 1484 ms vs 1554 ms (-4.5%).
+  Weights are stored int8 with per-output-channel scales and dequantized
+  into the dot/conv operand read (int8->bf16 convert fuses; the scale is
+  folded into the output epilogue), so the MXU still runs bf16 — the win
+  is halved weight HBM traffic, which also grows at smaller batch (the
+  b=1 inversion phase reads the same bytes for a third of the FLOPs).
+- extending w8 to the 3x3 conv kernels is NEUTRAL (1489 ms, within
+  noise of 1484; conv pool 493 -> 503 ms): XLA's conv weight read does
+  not benefit from the int8 storage the way its dot operand read does,
+  so ``quantize_unet_dots`` defaults to matmul weights only
+  (``convs=True`` keeps the option measurable).
 
-Backward (null-text / pix2pix-zero / StyleDiffusion differentiate through
-the UNet w.r.t. latents and context): a ``jax.custom_vjp`` computes input
-cotangents against the *dequantized* weights with a straight-through
-activation estimator. UNet weights are never optimized anywhere in the
-framework, so weight cotangents are zero.
+Layout: ``kernel_w8`` (int8, original kernel rank; 1x1 convs flattened to
+(in, out) so they dispatch as per-pixel matmuls) + ``kernel_scale``
+(f32, per output channel). ``models.layers.linear`` / ``conv2d`` dispatch
+on the key. Gradients w.r.t. activations flow through the dequantized
+weights natively (int8 leaves are autodiff constants); UNet weights are
+never optimized anywhere in the framework.
 
-This is an OPT-IN performance mode (``PNPI_QUANT=int8`` / ``--quant int8``):
-it deviates from the reference's fp numerics by design, and its metric
-impact must be validated on real weights on weight day (zero-egress here).
-It is excluded from the headline bench number; ``bench.py`` reports it as a
-secondary metric.
+This is an OPT-IN mode (``PNPI_QUANT=w8`` / ``--quant w8``): the <1%
+per-weight rounding error sits below the bf16 activation noise floor in
+every tiny-config check, but it deviates from the reference's fp numerics
+by construction and must be validated on real weights on weight day
+(zero-egress here). It is excluded from the headline bench number;
+``bench.py`` reports it as a secondary metric.
 """
 from __future__ import annotations
 
@@ -41,62 +52,52 @@ _EPS = 1e-8
 
 
 def quantize_linear_params(p: Params) -> Params:
-    """{"kernel": (in,out) float[, "bias"]} -> int8 layout for ``qlinear``."""
+    """{"kernel": (in,out) float[, "bias"]} -> weight-only int8 layout."""
     w = p["kernel"].astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), _EPS) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out: Params = {"kernel_q8": q, "kernel_scale": scale}
+    out: Params = {"kernel_w8": q, "kernel_scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
 
 
-@jax.custom_vjp
-def _qdot(x: Array, wq: Array, wscale: Array) -> Array:
-    """(..., in) x int8 (in, out) -> (..., out), int8 MXU forward.
+def quantize_conv_params(p: Params) -> Params:
+    """{"kernel": (kh,kw,in,out) float[, "bias"]} -> weight-only int8.
 
-    All quantization math stays in the activation dtype (bf16 on TPU) and
-    the dot accumulates straight to f32: the first formulation (f32 quant
-    math + int32 dot output) materialized f32/int32 copies of every
-    activation to HBM and perturbed XLA's conv fusions — measured SLOWER
-    end to end than bf16 despite a 2.4x faster dot (see
-    docs/PERFORMANCE.md int8 ledger entry). The bf16 reciprocal-scale
-    multiply costs <=0.4% extra quantization-grid error, far below the
-    int8 noise floor."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    recip = (127.0 / jnp.maximum(amax.astype(jnp.float32), _EPS)).astype(x.dtype)
-    xq = jnp.clip(jnp.round(x * recip), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        xq, wq,
-        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ascale = jnp.maximum(amax.astype(jnp.float32), _EPS) / 127.0
-    return (y * ascale * wscale).astype(x.dtype)
-
-
-def _qdot_fwd(x, wq, wscale):
-    return _qdot(x, wq, wscale), (x, wq, wscale)
-
-
-def _qdot_bwd(res, g):
-    x, wq, wscale = res
-    w_deq = wq.astype(jnp.float32) * wscale  # (in, out)
-    dx = jax.lax.dot_general(
-        g.astype(jnp.float32), w_deq,
-        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
-    ).astype(x.dtype)
-    return dx, jnp.zeros_like(wq), jnp.zeros_like(wscale)
-
-
-_qdot.defvjp(_qdot_fwd, _qdot_bwd)
+    1x1 kernels are flattened to the (in, out) linear layout — a stride-1
+    SAME 1x1 conv over NHWC is exactly a per-pixel matmul, and the explicit
+    dot measures faster than the conv lowering. kxk kernels keep their rank
+    (``layers.conv2d`` dequantizes into the conv's weight operand)."""
+    kh, kw, cin, cout = p["kernel"].shape
+    if kh == 1 and kw == 1:
+        flat = {"kernel": p["kernel"].reshape(cin, cout)}
+        if "bias" in p:
+            flat["bias"] = p["bias"]
+        return quantize_linear_params(flat)
+    w = p["kernel"].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), _EPS) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out: Params = {"kernel_w8": q, "kernel_scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
 
 def qlinear(p: Params, x: Array) -> Array:
-    y = _qdot(x, p["kernel_q8"], p["kernel_scale"])
+    """Weight-only int8 linear: bf16 MXU over dequantized-in-read weights,
+    per-output-channel scale folded into the output epilogue."""
+    y = jnp.dot(x, p["kernel_w8"].astype(x.dtype),
+                preferred_element_type=x.dtype)
+    y = y * p["kernel_scale"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _is_conv(p) -> bool:
+    return (isinstance(p, dict) and "kernel" in p
+            and getattr(p["kernel"], "ndim", 0) == 4)
 
 
 def _quantize_attention(p: Params) -> Params:
@@ -112,19 +113,31 @@ def _quantize_tblock(p: Params) -> Params:
     return out
 
 
-def quantize_unet_dots(unet: Params) -> Params:
-    """int8-quantize every transformer-block linear (attention projections +
-    FFN) of a UNet param tree; convs, norms, and time embeddings stay float
-    (int8 conv measured no faster, and the global time conditioning is kept
-    at full precision). Returns a new tree; the input is unchanged."""
+def quantize_unet_dots(unet: Params, convs: bool = False) -> Params:
+    """w8-quantize a UNet param tree: every transformer-block linear
+    (attention projections + FFN) and every 1x1 conv (proj_in/proj_out,
+    resnet conv_shortcut — flattened to matmuls). ``convs=True`` also
+    quantizes the kxk convs (resnet conv1/conv2, conv_in/conv_out,
+    up/downsamplers) — measured NEUTRAL on the fused scan (module
+    docstring), so off by default. Norms and the time-embedding MLP stay
+    float (tiny, and the global time conditioning is kept at full
+    precision). Returns a new tree; the input is unchanged."""
 
     def walk(p):
         if isinstance(p, dict):
             if "blocks" in p:  # transformer2d
                 out = dict(p)
                 out["blocks"] = [_quantize_tblock(b) for b in p["blocks"]]
+                for k in ("proj_in", "proj_out"):
+                    if _is_conv(out.get(k)):
+                        out[k] = quantize_conv_params(out[k])
                 return out
-            return {k: walk(v) for k, v in p.items()}
+            quant_keys = ("conv_shortcut",) if not convs else (
+                "conv_shortcut", "conv1", "conv2", "conv_in", "conv_out",
+                "downsample", "upsample")
+            return {k: (quantize_conv_params(v)
+                        if k in quant_keys and _is_conv(v) else walk(v))
+                    for k, v in p.items()}
         if isinstance(p, list):
             return [walk(v) for v in p]
         return p
@@ -136,7 +149,7 @@ def is_quantized(unet: Params) -> bool:
     found = []
     jax.tree_util.tree_map_with_path(
         lambda path, _: found.append(True)
-        if any(getattr(k, "key", None) == "kernel_q8" for k in path) else None,
+        if any(getattr(k, "key", None) == "kernel_w8" for k in path) else None,
         unet,
     )
     return bool(found)

@@ -85,10 +85,13 @@ class SDPipeline:
     ) -> "SDPipeline":
         """Random-weight pipeline, or load a converted checkpoint when given.
 
-        quantize="int8" (or env PNPI_QUANT=int8) rewrites the UNet's
-        transformer matmuls into the opt-in w8a8 layout (ops/quant.py):
-        ~1.9x faster dots on the v5e MXU, at a quality cost that must be
-        validated on real weights. The VAE / text encoder / convs stay float.
+        quantize="w8" (or env PNPI_QUANT=w8) rewrites the UNet's weights
+        into the opt-in weight-only int8 layout (ops/quant.py): halved
+        weight HBM traffic (-4.5% device time on the 512px fused scan,
+        more at batch 1), <1% per-weight rounding error that must still be
+        validated on real weights. The VAE / text encoder stay float.
+        Dynamic w8a8 int8-MXU quantization was measured SLOWER end to end
+        and removed (ops/quant.py module docstring has the numbers).
         """
         # the init jit below is the first compile of a runner process; make
         # sure the CPU persistent cache is configured before it (runners used
@@ -136,8 +139,10 @@ class SDPipeline:
 
         quant = quantize or os.environ.get("PNPI_QUANT", "").lower() or None
         if quant not in (None, "none", ""):
-            if quant != "int8":
-                raise ValueError(f"unknown quantize mode {quant!r}")
+            if quant != "w8":
+                raise ValueError(f"unknown quantize mode {quant!r} "
+                                 "(only 'w8'; dynamic 'int8' w8a8 measured "
+                                 "slower end to end and was removed)")
             from pnpinversion_tpu.ops.quant import quantize_unet_dots
 
             # one jitted dispatch for the whole rewrite (hundreds of

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Device-time comparison of the fused directinversion+p2p scan with the
-stock bf16 params vs the opt-in int8 (w8a8) transformer-matmul params
-(ops/quant.py). Prints per-op-type aggregates from xprof for both."""
+stock bf16 params vs the opt-in weight-only int8 params (ops/quant.py),
+with and without 3x3-conv coverage. Prints per-op-type aggregates from
+xprof for each."""
 import glob
 import json
 import os
@@ -62,9 +63,12 @@ def main():
                                          False)
     g = jnp.asarray(7.5, dtype)
     fused = editor._fused_direct(spec)
-    qunet = quantize_unet_dots(pipe.params["unet"])
+    wdots = jax.jit(quantize_unet_dots)(pipe.params["unet"])
+    wall = jax.jit(lambda u: quantize_unet_dots(u, convs=True))(pipe.params["unet"])
 
-    for tag, unet in [("bf16", pipe.params["unet"]), ("int8", qunet)]:
+    for tag, unet in [("bf16", pipe.params["unet"]),
+                      ("w8 dots+1x1 only", wdots),
+                      ("w8 all (incl 3x3 convs)", wall)]:
         agg = device_table(fused, (unet, traj, cond, uncond, g, tensors))
         tot = sum(agg.values())
         print(f"\n== {tag}: total device {tot/1e3:.1f} ms ==")
