@@ -70,8 +70,11 @@ def main():
     on_tpu = backend not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # quantize="none" pins the headline to reference-fp numerics even if
+    # the caller exported PNPI_QUANT=w8 (the w8 number is measured below)
     pipe = SDPipeline.create(SD14, rng=jax.random.PRNGKey(0),
-                             num_ddim_steps=STEPS, dtype=dtype)
+                             num_ddim_steps=STEPS, dtype=dtype,
+                             quantize="none")
     editor = P2PEditor(pipe)
 
     rng = np.random.RandomState(1234)

@@ -70,15 +70,10 @@ def standard_argparser(default_methods: Sequence[str]) -> argparse.ArgumentParse
                    help="JSONL run log (per-image timings/errors)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="xprof trace dir (profiles the first edited image)")
-    class _QuantAction(argparse.Action):
-        # export at parse time: every runner builds its SDPipeline (which
-        # reads PNPI_QUANT) right after parse_args, before any hook point
-        def __call__(self, parser, namespace, values, option_string=None):
-            setattr(namespace, self.dest, values)
-            os.environ["PNPI_QUANT"] = "" if values == "none" else values
-
+    # plumbed explicitly to SDPipeline.create(quantize=args.quant) by every
+    # runner (no process-global side channel; PNPI_QUANT env remains as a
+    # fallback read inside create for non-CLI embedders)
     p.add_argument("--quant", type=str, default=None, choices=["none", "w8"],
-                   action=_QuantAction,
                    help="opt-in weight-only int8 UNet weights (halved "
                         "weight HBM traffic, -4.5%% device time on the "
                         "fused scan; <1%% per-weight rounding error — "

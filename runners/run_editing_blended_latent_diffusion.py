@@ -22,7 +22,8 @@ def main(argv=None):
     parser = standard_argparser(["blended-latent-diffusion"])
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD21, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = BlendedLatentDiffusionEditor(pipe)
 
     def edit_fn(edit_method, item):

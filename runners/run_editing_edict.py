@@ -24,7 +24,8 @@ def main(argv=None):
                              ":50-52) via double-float; f32 is faster")
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = EDICTEditor(pipe, precision=args.precision)
 
     def edit_fn(edit_method, item):

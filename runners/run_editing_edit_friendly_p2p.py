@@ -17,7 +17,8 @@ def main(argv=None):
     parser = standard_argparser(["edit-friendly-inversion+p2p"])
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = EditFriendlyEditor(pipe)
 
     def edit_fn(edit_method, item):

@@ -18,7 +18,8 @@ def main(argv=None):
     parser = standard_argparser(["instruct-pix2pix"])
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(IP2P, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = InstructEditor(pipe)
 
     def edit_fn(edit_method, item):

@@ -29,7 +29,8 @@ def main(argv=None):
 
     config = TINY if args.tiny else SD14
     pipe = SDPipeline.create(config, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = P2PEditor(pipe)
     blended = args.blended_word
     image = editor(

@@ -28,7 +28,8 @@ def main(argv=None):
                         help="JSON {image_path: caption} to use instead of BLIP")
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
 
     captioner = None
     if args.checkpoint_dir is not None:

@@ -21,7 +21,8 @@ def main(argv=None):
     parser = standard_argparser(["directinversion+pnp"])
     args = parser.parse_args(argv)
     pipe = SDPipeline.create(SD14, num_ddim_steps=args.num_ddim_steps,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             quantize=getattr(args, "quant", None))
     editor = PnPEditor(pipe)
 
     def edit_fn(edit_method, item):

@@ -458,7 +458,8 @@ def main(argv=None):
     pipe = SDPipeline.create(sd_config, num_ddim_steps=args.num_ddim_steps,
                              checkpoint_dir=args.checkpoint_dir,
                              dtype=jnp.bfloat16 if jax.default_backend() != "cpu"
-                             else jnp.float32)
+                             else jnp.float32,
+                             quantize=getattr(args, "quant", None))
     if args.tp > 1:
         from pnpinversion_tpu.parallel.sweep import make_dp_tp_mesh
 

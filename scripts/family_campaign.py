@@ -125,6 +125,11 @@ def main():
         if n_have != args.images:
             import shutil
             shutil.rmtree(data)
+            # captions.json is derived from the mapping — a stale copy
+            # breaks the pix2pix-zero run (no BLIP weights to re-caption)
+            caps = os.path.join(args.workdir, "captions.json")
+            if os.path.exists(caps):
+                os.remove(caps)
     if not os.path.exists(mapping_path):
         build_demo(data, args.images)
 

@@ -10,16 +10,18 @@ fresh-input dispatches (measured impossible >80 PF/s rates), so this
 measures DEVICE time from an xprof trace of one 50-iteration fori_loop
 dispatch per candidate (the docs/PERFORMANCE.md-sanctioned method).
 """
-import glob
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from _xprof import traced_device_op_aggregate
 
 N_ITERS = 50
 ROWS = 12  # batch rows in the batch-4 sweep's fused scan
@@ -28,28 +30,9 @@ TRACE_DIR = "/tmp/int8_trace"
 
 def device_op_ms(fn, args, op_types):
     """Device self-time (ms) of the named op types for ONE dispatch of
-    fn(*args), via the xprof framework_op_stats tool (gviz JSON)."""
-    import json
-    jax.block_until_ready(fn(*args))  # compile + warm
-    os.system(f"rm -rf {TRACE_DIR}")
-    with jax.profiler.trace(TRACE_DIR):
-        jax.block_until_ready(fn(*args))
-    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    from xprof.convert import raw_to_tool_data
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:csv;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    table = json.loads(data)[0] if data.lstrip().startswith("[") else json.loads(data)
-    ids = [c["id"] for c in table["cols"]]
-    tot = 0.0
-    for row in table["rows"]:
-        r = dict(zip(ids, [c.get("v") for c in row["c"]]))
-        if r.get("host_or_device") != "Device":
-            continue
-        if r.get("type") in op_types:
-            tot += float(r.get("total_self_time") or 0)
-    return tot / 1e3
+    fn(*args), via the xprof framework_op_stats tool."""
+    agg = traced_device_op_aggregate(fn, args, TRACE_DIR)
+    return sum(us for t, us in agg.items() if t in op_types) / 1e3
 
 
 def conv_fn(h, w, cin, cout, dtype):

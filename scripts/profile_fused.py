@@ -1,12 +1,11 @@
 #!/usr/bin/env python
 """Capture an xprof trace of the fused directinversion+p2p scan and print the
 device op-profile (top ops by self time). Drives kernel optimization work."""
-import glob
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -41,20 +40,12 @@ def main():
     g = jnp.asarray(7.5, dtype)
     fused = editor._fused_direct(spec)
     args = (pipe.params["unet"], traj, cond, uncond, g, tensors)
-    jax.block_until_ready(fused(*args))  # compile
+    from _xprof import tool_data, trace_once
 
-    os.system(f"rm -rf {TRACE_DIR}")
-    with jax.profiler.trace(TRACE_DIR):
-        jax.block_until_ready(fused(*args))
-
-    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xplanes, file=sys.stderr)
-    from xprof.convert import raw_to_tool_data
-
-    params = {"tqx": "out:csv;"}
+    trace_once(fused, args, TRACE_DIR)
     for tool in ("framework_op_stats", "op_profile"):
         try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, tool, params)
+            data = tool_data(TRACE_DIR, tool)
             out = f"/tmp/fused_{tool}.out"
             mode = "wb" if isinstance(data, bytes) else "w"
             with open(out, mode) as f:

@@ -3,42 +3,19 @@
 stock bf16 params vs the opt-in weight-only int8 params (ops/quant.py),
 with and without 3x3-conv coverage. Prints per-op-type aggregates from
 xprof for each."""
-import glob
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _xprof import traced_device_op_aggregate
+
 TRACE_DIR = "/tmp/quant_trace"
-
-
-def device_table(fn, args):
-    jax.block_until_ready(fn(*args))  # compile
-    os.system(f"rm -rf {TRACE_DIR}")
-    with jax.profiler.trace(TRACE_DIR):
-        jax.block_until_ready(fn(*args))
-    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:csv;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    table = json.loads(data)
-    table = table[0] if isinstance(table, list) else table
-    ids = [c["id"] for c in table["cols"]]
-    agg = {}
-    for row in table["rows"]:
-        r = dict(zip(ids, [c.get("v") for c in row["c"]]))
-        if r.get("host_or_device") != "Device":
-            continue
-        agg[r["type"]] = agg.get(r["type"], 0.0) + float(r["total_self_time"] or 0)
-    return agg
 
 
 def main():
@@ -69,7 +46,8 @@ def main():
     for tag, unet in [("bf16", pipe.params["unet"]),
                       ("w8 dots+1x1 only", wdots),
                       ("w8 all (incl 3x3 convs)", wall)]:
-        agg = device_table(fused, (unet, traj, cond, uncond, g, tensors))
+        agg = traced_device_op_aggregate(
+            fused, (unet, traj, cond, uncond, g, tensors), TRACE_DIR)
         tot = sum(agg.values())
         print(f"\n== {tag}: total device {tot/1e3:.1f} ms ==")
         for t, us in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:

@@ -2,16 +2,17 @@
 """xprof the dp-batched sweep step (the path the effective bench number and
 the 700-image production sweep use) and print the device op-type breakdown.
 """
-import glob
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from _xprof import device_op_aggregate, trace_once
 
 TRACE_DIR = "/tmp/sweep_trace"
 
@@ -49,28 +50,9 @@ def main():
     tens_b = jax.tree.map(lambda x: jnp.stack([x] * nb), tensors1)
     uncond2 = pipe.encode_prompt(["", ""])
     args = (ctrl.spec, imgs_b, cond_b, uncond2, 7.5, tens_b)
-    jax.block_until_ready(sweep.edit_batch(*args))  # compile
-
-    os.system(f"rm -rf {TRACE_DIR}")
-    with jax.profiler.trace(TRACE_DIR):
-        jax.block_until_ready(sweep.edit_batch(*args))
-
-    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:csv;"})
-    tbl = json.loads(data)[0]
-    cols = [c["label"] for c in tbl["cols"]]
-    i_t = cols.index("Operation Type")
-    i_s = cols.index("Total self-time (us)")
-    i_h = cols.index("Host/device")
-    rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
-    rows = [v for v in rows if v[i_h] == "Device"]
-    tot = sum(v[i_s] or 0 for v in rows)
-    agg = {}
-    for v in rows:
-        agg[v[i_t]] = agg.get(v[i_t], 0) + (v[i_s] or 0)
+    trace_once(sweep.edit_batch, args, TRACE_DIR)
+    agg = device_op_aggregate(TRACE_DIR)
+    tot = sum(agg.values())
     print(f"batch={nb} device total: {tot/1e3:.0f}ms "
           f"({tot/1e3/nb:.0f}ms/image)")
     for k, val in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
