@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/family_campaign")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "family_bench.json"))
     ap.add_argument("--num_ddim_steps", type=int, default=50)
+    ap.add_argument("--quant", default=None, choices=["none", "w8"],
+                    help="pass through to the runner; results are keyed "
+                         "<method>@<quant> so bf16 records are preserved")
     args = ap.parse_args()
 
     data = os.path.join(args.workdir, "data")
@@ -151,6 +154,8 @@ def main():
                "--data_path", data, "--output_path", outdir,
                "--method", method, "--run_log", log,
                "--num_ddim_steps", str(args.num_ddim_steps)]
+        if args.quant and args.quant != "none":
+            cmd += ["--quant", args.quant]
         if method.endswith("pix2pix-zero"):
             # zero egress: no BLIP weights — supply the captions the
             # captioner would produce (the production --caption_file path)
@@ -174,8 +179,10 @@ def main():
                "images": args.images}
         if proc.returncode != 0:
             rec["stderr_tail"] = proc.stderr[-2000:]
-        results[method] = rec
-        print(json.dumps({method: rec}), flush=True)
+        key = method if not args.quant or args.quant == "none" \
+            else f"{method}@{args.quant}"
+        results[key] = rec
+        print(json.dumps({key: rec}), flush=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2, sort_keys=True)
 

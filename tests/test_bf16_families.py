@@ -72,9 +72,10 @@ def test_family_runs_in_bf16(method, mini_dataset, tmp_path, monkeypatch):
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(
+                    dtype=None, quantize=None: orig_create(
                         cls, tiny8 if cfg.name == "ip2p" else TINY,
-                        num_ddim_steps=4, dtype=jnp.bfloat16)))
+                        num_ddim_steps=4, dtype=jnp.bfloat16,
+                        quantize=quantize)))
     argv = [
         "--data_path", mini_dataset, "--output_path", str(tmp_path / "out"),
         "--num_ddim_steps", "4", "--n_devices", "2", "--method", method,

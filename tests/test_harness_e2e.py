@@ -107,7 +107,7 @@ def test_ti2i_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None, quantize=None: orig_create(cls, TINY, num_ddim_steps=4)))
     out = tmp_path / "out"
     runner.main([
         "--data_path", str(data), "--output_path", str(out),
@@ -152,7 +152,7 @@ def test_runner_sweep_and_evaluate(mini_dataset, tmp_path, monkeypatch):
     orig_create = SDPipeline.create.__func__
     monkeypatch.setattr(
         runner.SDPipeline, "create",
-        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None:
+        classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None, quantize=None:
                     orig_create(cls, TINY, num_ddim_steps=4)))
     runner.main([
         "--data_path", mini_dataset, "--output_path", str(out),

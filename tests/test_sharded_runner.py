@@ -44,7 +44,7 @@ def test_sharded_sweep_runner(mini_dataset, tmp_path, monkeypatch):
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None, quantize=None: orig_create(cls, TINY, num_ddim_steps=4)))
     out = tmp_path / "out"
     runner.main([
         "--data_path", mini_dataset, "--output_path", str(out),
@@ -80,7 +80,7 @@ def test_sharded_sweep_skips_unreadable_input(mini_dataset, tmp_path, monkeypatc
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None, quantize=None: orig_create(cls, TINY, num_ddim_steps=4)))
     out = tmp_path / "out"
     log = tmp_path / "run.jsonl"
     runner.main([
@@ -193,7 +193,7 @@ def test_sharded_sweep_pix2pix_zero(method, mini_dataset, tmp_path, monkeypatch)
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None, quantize=None: orig_create(cls, TINY, num_ddim_steps=4)))
     captions = {f"{i:06d}": "a photo of a cat" for i in range(3)}
     cap_file = tmp_path / "captions.json"
     cap_file.write_text(json.dumps(captions))
@@ -351,7 +351,7 @@ def test_sharded_sweep_step_ablation_folder(mini_dataset, tmp_path, monkeypatch)
     orig_create = SDPipeline.create.__func__
 
     def fake_create(cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None):
+                    dtype=None, quantize=None):
         seen_steps.append(num_ddim_steps)
         return orig_create(cls, TINY, num_ddim_steps=num_ddim_steps)
 
@@ -502,7 +502,7 @@ def test_sharded_sweep_stylediffusion(mini_dataset, tmp_path, monkeypatch):
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(cls, TINY, num_ddim_steps=4)))
+                    dtype=None, quantize=None: orig_create(cls, TINY, num_ddim_steps=4)))
     monkeypatch.setattr(runner, "STYLEDIFFUSION_CLIP_CFG",
                         vit.ViTConfig(image_size=16, patch_size=8, width=32,
                                       layers=2, heads=2, projection_dim=16))
@@ -547,7 +547,7 @@ def test_sharded_sweep_more_families(method, mini_dataset, tmp_path, monkeypatch
     monkeypatch.setattr(
         runner.SDPipeline, "create",
         classmethod(lambda cls, cfg, num_ddim_steps=50, checkpoint_dir=None,
-                    dtype=None: orig_create(
+                    dtype=None, quantize=None: orig_create(
                         cls, tiny8 if cfg.name == "ip2p" else TINY,
                         num_ddim_steps=4)))
     out = tmp_path / "out"

@@ -1,0 +1,301 @@
+"""Training subsystem tests (SURVEY.md §2.9/§2.10 trainer parity).
+
+Covers: the seeds.json edit-pair dataset (split arithmetic, pair-shared
+augmentation), the ddpm_edit.py conditioning-dropout rule, conv_in
+zero-extension, the sharded train step (loss decreases, ZeRO placement),
+EMA semantics, checkpoint save/restore resume, and the CLI end-to-end on
+the virtual 8-device mesh.
+"""
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from pnpinversion_tpu.configs import TINY
+from pnpinversion_tpu.training.data import (
+    EditPairDataset,
+    WeightedConcat,
+    batches,
+    split_bounds,
+)
+from pnpinversion_tpu.training.trainer import (
+    EditTrainer,
+    TrainConfig,
+    cond_dropout_masks,
+    extend_conv_in,
+    lambda_linear_lr,
+    zero_shardings,
+)
+
+TINY8 = dataclasses.replace(
+    TINY, unet=dataclasses.replace(TINY.unet, in_channels=8), name="ip2p")
+
+
+# --------------------------------------------------------------------- data
+
+def make_pair_dataset(root, n_items=6, res=20, seeds_per_item=2):
+    rng = np.random.default_rng(0)
+    seeds = []
+    for i in range(n_items):
+        name = f"{i:07d}"
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "prompt.json"), "w") as f:
+            json.dump({"input": f"a cat {i}", "edit": f"make it {i}",
+                       "output": f"a dog {i}"}, f)
+        item_seeds = []
+        for s in range(seeds_per_item):
+            for suffix in ("0", "1"):
+                arr = rng.integers(0, 255, (res, res, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{s}_{suffix}.jpg"))
+            item_seeds.append(s)
+        seeds.append([name, item_seeds])
+    with open(os.path.join(root, "seeds.json"), "w") as f:
+        json.dump(seeds, f)
+    return root
+
+
+def test_split_bounds_reference_arithmetic():
+    # floor arithmetic parity with edit_dataset.py:38-46
+    assert split_bounds(100, "train") == (0, 90)
+    assert split_bounds(100, "val") == (90, 95)
+    assert split_bounds(100, "test") == (95, 100)
+    assert split_bounds(7, "train") == (0, 6)
+    assert split_bounds(7, "val") == (6, 6)  # empty val at small n, like ref
+
+
+def test_edit_pair_dataset(tmp_path):
+    root = make_pair_dataset(str(tmp_path / "ds"))
+    ds = EditPairDataset(root, split="train", min_resize_res=16,
+                         max_resize_res=20, crop_res=12, flip_prob=1.0)
+    rng = np.random.default_rng(3)
+    it = ds.get(0, rng)
+    assert it["cond_image"].shape == (12, 12, 3)
+    assert it["edited"].shape == (12, 12, 3)
+    assert it["cond_image"].dtype == np.float32
+    assert -1.0 <= it["cond_image"].min() and it["cond_image"].max() <= 1.0
+    assert it["edit"] == "make it 0"
+
+    src = WeightedConcat([ds], [1.0])
+    b = next(batches(src, 4, seed=0))
+    assert b["edited"].shape == (4, 12, 12, 3)
+    assert len(b["edit"]) == 4
+
+    # process-disjoint streams
+    b0 = next(batches(src, 4, seed=0, process_index=0))
+    b1 = next(batches(src, 4, seed=0, process_index=1))
+    assert not np.array_equal(b0["edited"], b1["edited"])
+
+
+def test_pair_shared_crop_and_flip(tmp_path):
+    """Crop offset + flip must be identical for both images of a pair
+    (edit_dataset.py:68-70 concatenates before the random transforms)."""
+    root = str(tmp_path / "ds")
+    os.makedirs(os.path.join(root, "0000000"))
+    base = np.arange(24 * 24 * 3, dtype=np.uint8).reshape(24, 24, 3)
+    # identical source/edited images: after any shared crop/flip they stay equal
+    Image.fromarray(base).save(os.path.join(root, "0000000", "0_0.jpg"))
+    Image.fromarray(base).save(os.path.join(root, "0000000", "0_1.jpg"))
+    with open(os.path.join(root, "0000000", "prompt.json"), "w") as f:
+        json.dump({"edit": "x"}, f)
+    with open(os.path.join(root, "seeds.json"), "w") as f:
+        json.dump([["0000000", [0]]], f)
+    ds = EditPairDataset(root, split="train", splits=(1.0, 0.0, 0.0),
+                         min_resize_res=24, max_resize_res=24, crop_res=10,
+                         flip_prob=0.5)
+    for trial in range(5):
+        it = ds.get(0, np.random.default_rng(trial))
+        np.testing.assert_array_equal(it["cond_image"], it["edited"])
+
+
+# ----------------------------------------------------------------- dropout
+
+def test_cond_dropout_rule():
+    """Exact ddpm_edit.py:702-704: r<2u drops text; u<=r<3u drops image
+    (so both drop together on u<=r<2u)."""
+    u = 0.05
+    r = jnp.array([0.01, 0.07, 0.12, 0.2, 0.9])
+    drop_prompt, keep_image = cond_dropout_masks(r, u)
+    np.testing.assert_array_equal(
+        np.asarray(drop_prompt), [True, True, False, False, False])
+    np.testing.assert_array_equal(
+        np.asarray(keep_image), [True, False, False, True, True])
+
+
+# ------------------------------------------------------------------ conv_in
+
+def test_extend_conv_in_preserves_function(rng):
+    """Zero-extended channels: the 8ch UNet on [latent, anything] equals the
+    4ch UNet on latent — the ip2p initialization contract."""
+    from pnpinversion_tpu.models.unet import init_unet_params, unet_apply
+
+    p4 = init_unet_params(rng, TINY.unet)
+    p8 = extend_conv_in(p4, 8)
+    assert p8["conv_in"]["kernel"].shape[2] == 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    junk = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 77, 32))
+    eps4, _ = unet_apply(p4, x, jnp.int32(3), ctx, TINY.unet)
+    eps8, _ = unet_apply(p8, jnp.concatenate([x, junk], -1), jnp.int32(3),
+                         ctx, TINY8.unet)
+    np.testing.assert_allclose(np.asarray(eps4), np.asarray(eps8), atol=1e-6)
+
+
+# ---------------------------------------------------------------- lr sched
+
+def test_lambda_linear_lr():
+    cfg = TrainConfig(base_lr=1e-4, scale_lr=True, warmup_steps=10, accum=2)
+    lr = lambda_linear_lr(cfg, n_dp=4, batch_per_step=8)
+    peak = 2 * 4 * 8 * 1e-4
+    assert float(lr(jnp.float32(10))) == pytest.approx(peak)
+    assert float(lr(jnp.float32(100))) == pytest.approx(peak)
+    assert float(lr(jnp.float32(0))) == pytest.approx(peak * 1e-6)
+    assert float(lr(jnp.float32(5))) == pytest.approx(peak * 0.5, rel=1e-4)
+
+    ncfg = TrainConfig(base_lr=1e-4, scale_lr=False, warmup_steps=0)
+    assert float(lambda_linear_lr(ncfg, 4, 8)(jnp.float32(0))) == pytest.approx(1e-4)
+
+
+# ------------------------------------------------------------------ trainer
+
+def make_trainer(accum=1, batch=8, zero=True, tp=1, **kw):
+    from pnpinversion_tpu.models.unet import init_unet_params
+    from pnpinversion_tpu.parallel.sweep import make_dp_tp_mesh
+    from pnpinversion_tpu.pipeline import SDPipeline
+
+    pipe = SDPipeline.create(TINY8, rng=jax.random.PRNGKey(5), num_ddim_steps=4)
+    unet = extend_conv_in(init_unet_params(jax.random.PRNGKey(6), TINY.unet), 8)
+    mesh = make_dp_tp_mesh(tp=tp)
+    cfg = TrainConfig(accum=accum, zero=zero, dtype=jnp.float32,
+                      scale_lr=False, base_lr=1e-3, **kw)
+    null_ids = np.asarray(jax.device_get(pipe.tokenize([""])))[0]
+    frozen = {"vae": pipe.params["vae"], "text": pipe.params["text"]}
+    return EditTrainer(TINY8, frozen, unet, mesh, cfg, batch, null_ids), pipe
+
+
+def fixed_batch(pipe, accum=1, batch=8, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = np.asarray(jax.device_get(
+        pipe.tokenize(["make it red"] * batch)))
+    return {
+        "edited": rng.standard_normal((accum, batch, 16, 16, 3)).astype(np.float32) * 0.5,
+        "cond_image": rng.standard_normal((accum, batch, 16, 16, 3)).astype(np.float32) * 0.5,
+        "ids": np.broadcast_to(ids, (accum,) + ids.shape).copy(),
+    }
+
+
+def test_train_step_descends_and_shards():
+    trainer, pipe = make_trainer(accum=1, batch=8, zero=True)
+    batch = fixed_batch(pipe, accum=1, batch=8)
+    p0 = jax.device_get(trainer.state["params"]["conv_in"]["kernel"])
+    losses = []
+    for i in range(12):
+        m = trainer.train_step(batch, jax.random.PRNGKey(0))
+        losses.append(float(jax.device_get(m["loss"])))
+        assert np.isfinite(losses[-1])
+        assert float(jax.device_get(m["grad_norm"])) > 0
+    # same batch + same rng every step: pure optimization, must descend
+    assert losses[-1] < losses[0]
+    p1 = jax.device_get(trainer.state["params"]["conv_in"]["kernel"])
+    assert not np.array_equal(p0, p1)
+    assert int(jax.device_get(trainer.state["step"])) == 12
+
+    # ZeRO: at least one Adam moment leaf actually dp-sharded
+    specs = [x.sharding.spec for x in jax.tree.leaves(trainer.state["opt"])
+             if hasattr(x, "sharding")]
+    assert any("dp" in str(s) for s in specs), specs
+
+
+def test_grad_accumulation_matches_big_batch():
+    """accum=2 x batch=4 must equal accum=1 x batch=8 given identical items
+    and per-microbatch rngs are the only difference -> compare by fixing
+    dropout/noise rngs: use uncond_prob=0 and the same key per microbatch."""
+    t1, pipe = make_trainer(accum=1, batch=8, zero=False, uncond_prob=0.0)
+    t2, _ = make_trainer(accum=2, batch=8, zero=False, uncond_prob=0.0)
+    b1 = fixed_batch(pipe, accum=1, batch=8)
+    b2 = {k: (np.concatenate([v, v], 0) if isinstance(v, np.ndarray) else v)
+          for k, v in b1.items()}
+    key = jax.random.PRNGKey(9)
+    m1 = t1.train_step(b1, key)
+    # accum=2 with identical microbatches and split keys differs by rng only;
+    # check the accumulated loss is the mean of the two microbatch losses by
+    # running the duplicated batch: grads average, loss averages
+    m2 = t2.train_step(b2, key)
+    assert np.isfinite(float(m2["loss"]))
+    # with identical duplicated data the accumulated grad norm stays close
+    # to the single-batch one (rng split differs => not exactly equal)
+    assert float(m2["grad_norm"]) == pytest.approx(float(m1["grad_norm"]), rel=1.0)
+
+
+def test_ema_and_val_step():
+    trainer, pipe = make_trainer(accum=1, batch=8, ema_decay=0.9999)
+    batch = fixed_batch(pipe)
+    e0 = jax.device_get(trainer.state["ema"]["conv_in"]["kernel"])
+    trainer.train_step(batch, jax.random.PRNGKey(0))
+    e1 = jax.device_get(trainer.state["ema"]["conv_in"]["kernel"])
+    p1 = jax.device_get(trainer.state["params"]["conv_in"]["kernel"])
+    # LitEMA warmup: step 1 -> decay=min(.9999, 2/11)
+    d = 2.0 / 11.0
+    np.testing.assert_allclose(e1, e0 * d + p1 * (1 - d), rtol=1e-5, atol=1e-6)
+    vl = float(jax.device_get(trainer.val_step(batch, jax.random.PRNGKey(1))))
+    assert np.isfinite(vl)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, pipe = make_trainer(accum=1, batch=8)
+    batch = fixed_batch(pipe)
+    trainer.train_step(batch, jax.random.PRNGKey(0))
+    path = trainer.save(str(tmp_path / "ckpt"))
+    assert os.path.isdir(path)
+    p_saved = jax.device_get(trainer.state["params"]["conv_in"]["kernel"])
+    m_ref = trainer.train_step(batch, jax.random.PRNGKey(1))
+
+    trainer2, _ = make_trainer(accum=1, batch=8)
+    assert trainer2.restore(directory=str(tmp_path / "ckpt"))
+    assert int(jax.device_get(trainer2.state["step"])) == 1
+    np.testing.assert_array_equal(
+        p_saved,
+        jax.device_get(trainer2.state["params"]["conv_in"]["kernel"]))
+    # resumed trainer reproduces the exact next step
+    m2 = trainer2.train_step(batch, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-6)
+    assert not trainer2.restore(directory=str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------- CLI
+
+def test_training_cli_end_to_end(tmp_path, monkeypatch):
+    import runners.run_training_instructpix2pix as runner
+    from pnpinversion_tpu.pipeline import SDPipeline
+
+    root = make_pair_dataset(str(tmp_path / "ds"), n_items=20, res=20)
+    orig_create = SDPipeline.create.__func__
+    monkeypatch.setattr(
+        SDPipeline, "create",
+        classmethod(lambda cls, cfg, **kw: orig_create(
+            cls, TINY8 if cfg.name == "ip2p" else TINY,
+            num_ddim_steps=4)))
+    out = tmp_path / "run"
+    argv = ["--data_path", root, "--output_dir", str(out),
+            "--batch_per_step", "8", "--accumulate_grad_batches", "1",
+            "--max_steps", "2", "--save_every", "0", "--log_every", "1",
+            "--val_every", "2", "--val_batches", "1",
+            "--min_resize_res", "16", "--max_resize_res", "16",
+            "--crop_res", "16", "--dtype", "f32", "--seed", "0"]
+    runner.main(argv)
+    log = [json.loads(l) for l in
+           open(out / "train_log.jsonl").read().splitlines()]
+    events = [l["event"] for l in log]
+    assert "train" in events and "val" in events and "done" in events
+    ckpts = [d for d in os.listdir(out) if d.startswith("step_")]
+    assert ckpts == ["step_00000002"]
+
+    # resume continues from the checkpoint (2 more steps)
+    runner.main(argv + ["--resume", "--max_steps", "3"])
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("step_"))
+    assert ckpts[-1] == "step_00000003"
