@@ -67,13 +67,16 @@ def main():
             # identical dispatches (docs/PERFORMANCE.md timing pitfalls)
             return jnp.asarray((rng.rand(n, 512, 512, 3) * 255).astype(np.uint8))
 
+        # timed regions round-trip real bytes to host: block_until_ready on
+        # the tunneled backend acked the r4 w8 dispatch without completing
+        # it even with fresh inputs (BENCH_r04 incident, VERDICT r4 weak #1)
+        fetch = lambda t: [np.asarray(l) for l in jax.tree.leaves(t)]
+
         # warmup/compile
-        r, e = sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb)
-        jax.block_until_ready((r, e))
+        fetch(sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            r, e = sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb)
-            jax.block_until_ready((r, e))
+            fetch(sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb))
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({"batch": n, "s_per_batch": round(dt, 4),
                           "s_per_image": round(dt / n, 4),
