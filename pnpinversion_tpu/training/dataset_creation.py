@@ -138,7 +138,7 @@ class PairGenerator:
         self.pipe = pipe
         self.steps = steps
         self.control = SelfAttnShareControl(steps)
-        hw = pipe.config.vae.sample_size // 8
+        hw = pipe.latent_size
         self.image_size = pipe.config.vae.sample_size
 
         def batched(unet_params, ctx_pair, uncond_ctx, cfgs, thrs, keys):

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--no_zero", action="store_true",
                    help="replicate optimizer state instead of dp-sharding it")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the UNet forward (activation HBM vs "
+                        "~1/3 more FLOPs; needed for single-chip 256px runs)")
     p.add_argument("--crop_res", type=int, default=256)
     p.add_argument("--min_resize_res", type=int, default=256)
     p.add_argument("--max_resize_res", type=int, default=256)
@@ -127,7 +130,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
         clip_grad=args.clip_grad, accum=args.accumulate_grad_batches,
         uncond_prob=args.uncond_prob, ema_decay=args.ema_decay,
-        zero=not args.no_zero,
+        zero=not args.no_zero, remat=args.remat,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
     null_ids = np.asarray(pipe.tokenize([""]))[0]
@@ -179,6 +182,13 @@ def main(argv=None) -> None:
             m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
             m.update(step=step + 1, lr=trainer.learning_rate(step),
                      s_per_step=(time.time() - t0) / max(1, step + 1 - start))
+            if step == start:  # HBM footprint once, after the first step
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    m["peak_hbm_gb"] = round(
+                        stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+                except Exception:
+                    pass
             logger.log("train", **m)
             print(json.dumps({"train": m}), flush=True)
         if val_every and (step + 1) % val_every == 0:

@@ -246,6 +246,20 @@ def test_ema_and_val_step():
     assert np.isfinite(vl)
 
 
+def test_remat_matches_no_remat():
+    """cfg.remat=True must change activation memory only, never the math:
+    identical loss and grad_norm for the same batch/rng."""
+    t0, pipe = make_trainer(accum=1, batch=8, uncond_prob=0.0)
+    t1, _ = make_trainer(accum=1, batch=8, uncond_prob=0.0, remat=True)
+    batch = fixed_batch(pipe)
+    key = jax.random.PRNGKey(3)
+    m0 = t0.train_step(batch, key)
+    m1 = t1.train_step(batch, key)
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-6)
+    assert float(m1["grad_norm"]) == pytest.approx(
+        float(m0["grad_norm"]), rel=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     trainer, pipe = make_trainer(accum=1, batch=8)
     batch = fixed_batch(pipe)
