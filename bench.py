@@ -72,11 +72,17 @@ def w8_keys(s_w8: float, s_headline: float, nb: int) -> dict:
 
 
 def fetch(out) -> None:
-    """Materialize every output on the HOST (not just block_until_ready):
-    the tunneled backend can ack a dispatch without completing it, so timed
-    regions must round-trip real bytes."""
+    """Force every output buffer to actually exist, round-tripping real
+    bytes to the HOST (the tunneled backend can ack a dispatch without
+    completing it — block_until_ready alone read 1000x too fast in r4).
+
+    A full np.asarray of the outputs would also work, but it bills the dev
+    tunnel's ~20 MB/s host link (~340 ms for a batch-4 image set) as device
+    time; production hosts are co-located (PCIe/DMA, negligible). Instead,
+    reduce each leaf ON DEVICE — the sum cannot run before its producer
+    completes and touches every byte — and ship only the scalar."""
     for leaf in jax.tree.leaves(out):
-        np.asarray(leaf)
+        np.asarray(jnp.sum(jnp.asarray(leaf, jnp.float32)))
 
 
 def main():

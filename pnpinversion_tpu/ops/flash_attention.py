@@ -30,10 +30,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# tuned on v5e for the SD1.4 64x64 self-attention (B8,H8,S4096,D40->128):
-# (256,512)=6.5ms, (512,512)=5.8ms, (512,1024)=5.5ms vs einsum 14.1ms
+# Forward blocks, tuned on v5e at the production batch-4 edit-scan shapes
+# (12 rows x 8 heads; scripts/tune_flash.py --rows 12, one-dispatch scan
+# timing over distinct inputs):
+#   sq=4096,d=40: (512,1024) 12.56 ms -> (512,4096) 11.10 ms (-12%);
+#                 (1024,4096) fails Mosaic compile (probs block VMEM)
+#   sq=1024,d=80: (512,1024)  4.38 ms -> (1024,1024) 3.98 ms (-9%)
+# Larger K blocks win because the whole K/V row already sits in VMEM (the
+# in_spec block is the full sequence); block_k only sets the inner-loop
+# tile, and fewer online-softmax renorm carries + bigger MXU dots beat the
+# smaller tiles. Backward keeps the r2-tuned (512,1024): the dq/dkv kernels
+# carry extra f32 accumulators per tile, and (512,4096) was not re-tuned
+# for them.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
+
+
+def _default_blocks(sq: int, sk: int):
+    if sq >= 4096:
+        return 512, min(sk, 4096)
+    return min(sq, 1024), min(sk, 1024)
+
+
+def _default_bwd_blocks(sq: int, sk: int):
+    # the r2-tuned sizes; re-tunable via scripts/tune_flash.py --bwd
+    return min(sq, DEFAULT_BLOCK_Q), min(sk, DEFAULT_BLOCK_K)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
@@ -224,23 +245,26 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
     return out.reshape(b, h, sq, d_pad)[..., :d], lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, scale, block_q, block_k, bwd_block_q,
+                     bwd_block_k, interpret):
     out, _ = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
     return out
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, bwd_block_q,
+                    bwd_block_k, interpret):
     out, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, interpret, res, do):
+def _flash_bwd_rule(scale, block_q, block_k, bwd_block_q, bwd_block_k,
+                    interpret, res, do):
     q, k, v, out, lse = res
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = min(bwd_block_q, sq)
+    block_k = min(bwd_block_k, sk)
     dtype = q.dtype
 
     # delta_i = rowsum(dO_i * O_i) — the dP diagonal correction; one fused
@@ -335,14 +359,28 @@ def _flash_bwd_rule(scale, block_q, block_k, interpret, res, do):
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "block_q", "block_k", "bwd_block_q", "bwd_block_k", "interpret"))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_q: int | None = None,
+                    block_k: int | None = None,
+                    bwd_block_q: int | None = None,
+                    bwd_block_k: int | None = None,
                     interpret: bool = False) -> Array:
     """q,k,v: (B, H, S, D) -> (B, H, S, D). Non-causal softmax attention.
 
+    block_q/block_k default to the per-shape v5e-tuned table
+    (``_default_blocks``); bwd_block_* tile the two backward kernels and
+    default to ``_default_bwd_blocks``. Pass any explicitly to override
+    (tuning runs).
+
     Differentiable: reverse-mode goes through the Pallas FlashAttention-2
     backward kernels above (null-text / pix2pix-zero grad-through-UNet)."""
-    return _flash_attention(q, k, v, scale, block_q, block_k, interpret)
+    dq, dk = _default_blocks(q.shape[2], k.shape[2])
+    bdq, bdk = _default_bwd_blocks(q.shape[2], k.shape[2])
+    return _flash_attention(q, k, v, scale,
+                            block_q if block_q is not None else dq,
+                            block_k if block_k is not None else dk,
+                            bwd_block_q if bwd_block_q is not None else bdq,
+                            bwd_block_k if bwd_block_k is not None else bdk,
+                            interpret)

@@ -69,8 +69,11 @@ def main():
 
         # timed regions round-trip real bytes to host: block_until_ready on
         # the tunneled backend acked the r4 w8 dispatch without completing
-        # it even with fresh inputs (BENCH_r04 incident, VERDICT r4 weak #1)
-        fetch = lambda t: [np.asarray(l) for l in jax.tree.leaves(t)]
+        # it even with fresh inputs (BENCH_r04 incident, VERDICT r4 weak #1).
+        # Reduce on device first so the readback is 4 bytes, not the image
+        # set through the ~20 MB/s dev tunnel (see bench.fetch).
+        fetch = lambda t: [np.asarray(jnp.sum(jnp.asarray(l, jnp.float32)))
+                           for l in jax.tree.leaves(t)]
 
         # warmup/compile
         fetch(sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb))

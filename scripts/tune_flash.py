@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--rows", type=int, default=12,
                     help="attention batch rows (3 UNet rows x images/chip)")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--bwd", action="store_true",
+                    help="tune the two backward kernels (dq + dkv) instead: "
+                         "grad-through-UNet paths (null-text, pix2pix-zero) "
+                         "spend ~2/3 of their attention time there. Forward "
+                         "blocks stay at the tuned defaults; rows=1 is the "
+                         "null-text inner-Adam shape.")
     args = ap.parse_args()
 
     from pnpinversion_tpu.ops.flash_attention import flash_attention
@@ -80,22 +86,40 @@ def main():
             if bq > s or bk > s:
                 continue
             try:
-                f = lambda q, k, v, bq=bq, bk=bk: flash_attention(
-                    q, k, v, scale, block_q=bq, block_k=bk)
+                if args.bwd:
+                    def f(q, k, v, bq=bq, bk=bk):
+                        def loss(q, k, v):
+                            out = flash_attention(q, k, v, scale,
+                                                  bwd_block_q=bq,
+                                                  bwd_block_k=bk)
+                            return jnp.sum(out.astype(jnp.float32))
+                        dq_, dk_, dv_ = jax.grad(loss, argnums=(0, 1, 2))(
+                            q, k, v)
+                        return dq_ + dk_ + dv_
+                else:
+                    f = lambda q, k, v, bq=bq, bk=bk: flash_attention(
+                        q, k, v, scale, block_q=bq, block_k=bk)
                 sec = scan_timer(f, stack, args.iters)
-                got = jax.jit(f)(q0, k0, v0)
-                err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
-                                            - ref.astype(jnp.float32))))
-                # true (unpadded) attention flops: 2 matmuls, 2*s*s*d each
-                tfs = 4 * b * 8 * s * s * d / sec / 1e12
+                if args.bwd:
+                    err = -1.0  # grad parity is pinned by the CPU suite
+                else:
+                    got = jax.jit(f)(q0, k0, v0)
+                    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                                - ref.astype(jnp.float32))))
+                # true (unpadded) attention flops: fwd 2 matmuls of
+                # 2*s*s*d each; bwd adds 5 more (dq:2, dkv:3, p recompute
+                # shared) -> 2.5x the fwd flops
+                flops = 4 * b * 8 * s * s * d * (3.5 if args.bwd else 1)
+                tfs = flops / sec / 1e12
                 print(json.dumps({"rows": b, "s": s, "d": d, "bq": bq,
-                                  "bk": bk, "ms": round(sec * 1e3, 3),
+                                  "bk": bk, "bwd": args.bwd,
+                                  "ms": round(sec * 1e3, 3),
                                   "true_tf_s": round(tfs, 1),
                                   "max_err": err}), flush=True)
             except Exception as e:  # VMEM OOM etc
                 print(json.dumps({"rows": b, "s": s, "d": d, "bq": bq,
-                                  "bk": bk, "error": str(e)[:120]}),
-                      flush=True)
+                                  "bk": bk, "bwd": args.bwd,
+                                  "error": str(e)[:120]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -127,3 +127,16 @@ def test_flash_cross_seq():
     ref = apply_probs(attention_probs(q, k, 0.125), v)
     out = flash_attention(q, k, v, 0.125, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_default_block_table():
+    """Per-shape tuned defaults (scripts/tune_flash.py --rows 12 on v5e):
+    full-K inner tile at seq 4096, full-seq tiles at 1024, and everything
+    clipped to the actual sequence lengths; bwd caps at (512, 1024)."""
+    from pnpinversion_tpu.ops.flash_attention import _default_blocks
+
+    assert _default_blocks(4096, 4096) == (512, 4096)
+    assert _default_blocks(1024, 1024) == (1024, 1024)
+    assert _default_blocks(1024, 77) == (1024, 77)    # cross-attn kv
+    assert _default_blocks(256, 256) == (256, 256)    # tiny/CPU shapes
+    assert _default_blocks(8192, 8192) == (512, 4096)  # larger stays capped
