@@ -76,7 +76,11 @@ def main():
                            for l in jax.tree.leaves(t)]
 
         # warmup/compile
+        print(f"# batch {n}: compiling...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         fetch(sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb))
+        print(f"# batch {n}: compile+warm {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             fetch(sweep.edit_batch(ctrl.spec, fresh(), cond, uncond, 7.5, tb))
