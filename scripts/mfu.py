@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """xprof-derived MFU for the flagship fused directinversion+p2p scan.
 
-MFU = (XLA cost_analysis FLOPs of ONE fused-scan dispatch)
+MFU = (analytic jaxpr FLOPs of ONE fused-scan dispatch, scripts/_flops.py)
       / (xprof device self-time of that dispatch)
       / (v5e bf16 peak, 197 TF/s).
+
+XLA's cost_analysis is NOT usable here: it counts a lax.scan body once
+(not x50) and pallas flash calls as zero — it read 2.7 TF for a program
+whose true MXU work is ~51 TF. _flops.count_flops walks the jaxpr with
+scan lengths applied and the analytic 4*B*H*Sq*Sk*D flash formula.
 
 Two figures are printed:
   - matmul+conv MFU: FLOPs restricted to dot/conv device time (how close
@@ -104,14 +109,19 @@ def main():
         mesh_ctx = sweep.mesh
 
     import contextlib
+
+    from _flops import fn_flops
+
     ctx = mesh_ctx if mesh_ctx is not None else contextlib.nullcontext()
     jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
     with ctx:
-        compiled = jfn.lower(*call_args).compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    flops = float(ca.get("flops", 0.0))
-    print(f"cost_analysis flops: {flops / 1e9:.2f} GF "
+        jfn.lower(*call_args).compile()
+        fl = fn_flops(jfn, *call_args)
+    if fl["while_bodies_tf"]:
+        print(f"note: {len(fl['while_bodies_tf'])} while bodies excluded "
+              f"({[round(w, 3) for w in fl['while_bodies_tf']]} TF/trip)")
+    flops = fl["static_tf"] * 1e12
+    print(f"analytic flops: {flops / 1e12:.2f} TF "
           f"({flops / args.batch / 1e12:.3f} TF/image)")
 
     from _xprof import traced_device_op_aggregate
