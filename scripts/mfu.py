@@ -11,8 +11,8 @@ whose true MXU work is ~51 TF. _flops.count_flops walks the jaxpr with
 scan lengths applied and the analytic 4*B*H*Sq*Sk*D flash formula.
 
 Two figures are printed:
-  - matmul+conv MFU: FLOPs restricted to dot/conv device time (how close
-    the MXU work is to its roofline),
+  - MXU-time MFU: FLOPs over dot/conv/flash device time only (how close
+    the counted work is to its roofline),
   - end-to-end MFU: all device time in the denominator (what fraction of
     the chip's peak the whole scan sustains — the headline figure for
     docs/PERFORMANCE.md).
@@ -39,8 +39,12 @@ import numpy as np
 
 V5E_BF16_PEAK = 197e12
 TRACE_DIR = "/tmp/mfu_trace"
-# xprof framework_op_stats "type" values that run on the MXU.
-MXU_TYPES = ("dot", "convolution", "dot_general", "conv")
+# xprof op pools that hold the counted FLOPs (flash attention runs as
+# pallas_call; its true flops are in the numerator so its time must be in
+# the denominator). Exact prefixes — a bare "conv" substring would also
+# catch convert_element_type.
+MXU_TYPES = ("dot_general", "conv_general_dilated", "pallas_call",
+             "convolution", "dot(")
 
 
 def main():
@@ -140,7 +144,7 @@ def main():
     mxu = flops / (mxu_us * 1e-6) / V5E_BF16_PEAK if mxu_us else float("nan")
     print(f"end-to-end MFU: {100 * e2e:.1f}% of v5e bf16 peak")
     print(f"MXU-time MFU:   {100 * mxu:.1f}% "
-          f"(matmul/conv pools only in the denominator)")
+          f"(matmul/conv/flash pools only in the denominator)")
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:12]
     for k, v in top:
         print(f"  {v / 1e3:9.1f} ms  {k}")
