@@ -44,20 +44,26 @@ def _conv_flops(eqn) -> float:
 def _flash_flops(eqn) -> float:
     """4*B*H*Sq*Sk*D for the QK+PV dots of one flash call (fwd). The
     backward kernels (dq; dk/dv) each re-do both dots plus one more:
-    ~2.5x fwd; they carry 'bwd' in their kernel name."""
+    ~2.5x fwd; they carry 'bwd' in their kernel name.
+
+    ops/flash_attention.py hands the kernels 3D (B*H, seq, d) operands
+    (d unpadded when d%8==0, i.e. all SD head dims on hardware); the
+    first two such invars are q,k (fwd / dq kernel) or k,v (dkv kernel)
+    — the formula is symmetric in the two seq lengths either way."""
     arrs = [v.aval.shape for v in eqn.invars
-            if hasattr(v.aval, "shape") and len(v.aval.shape) == 4]
-    if len(arrs) < 3:
+            if hasattr(v.aval, "shape") and len(v.aval.shape) == 3
+            and v.aval.shape[1] > 1]  # skip (B*H, 1, Sq) lse/delta rows
+    if len(arrs) < 2:
         return 0.0
-    q, k = arrs[0], arrs[1]
-    b, h, sq, d = q
-    sk = k[2]
-    base = 4.0 * b * h * sq * sk * d
-    name = str(eqn.params.get("name", ""))
-    if "bwd" in name or "dq" in name or "dkv" in name:
-        # dq kernel: 3 dots (s, ds, dq); dkv kernel: 4 dots — callers see
-        # them as separate pallas_calls, so approximate each at 1.5x fwd
-        return base * 1.5
+    bh, s1, d = arrs[0]
+    s2 = arrs[1][1]
+    base = 4.0 * bh * s1 * s2 * d
+    # this JAX's pallas_call eqns carry no kernel name; tell the kernels
+    # apart structurally: fwd is (q,k,v)->(out,lse); the bwd kernels take
+    # (.,.,.,do,lse,delta) — dq returns one array (3 dots: s, ds, dq),
+    # dkv returns two (4 dots: s, ds, dk, dv)
+    if len(eqn.invars) >= 6:
+        return base * (2.0 if len(eqn.outvars) >= 2 else 1.5)
     return base
 
 

@@ -115,6 +115,9 @@ def main():
     ap.add_argument("--quant", default=None, choices=["none", "w8"],
                     help="pass through to the runner; results are keyed "
                          "<method>@<quant> so bf16 records are preserved")
+    ap.add_argument("--batch_per_device", type=int, default=0,
+                    help="pass through to the runner (0 = its auto default); "
+                         "recorded in each result row")
     args = ap.parse_args()
 
     data = os.path.join(args.workdir, "data")
@@ -156,6 +159,8 @@ def main():
                "--num_ddim_steps", str(args.num_ddim_steps)]
         if args.quant and args.quant != "none":
             cmd += ["--quant", args.quant]
+        if args.batch_per_device:
+            cmd += ["--batch_per_device", str(args.batch_per_device)]
         if method.endswith("pix2pix-zero"):
             # zero egress: no BLIP weights — supply the captions the
             # captioner would produce (the production --caption_file path)
@@ -176,7 +181,8 @@ def main():
         rec = {"wall_s": round(wall, 1), "images_done": n_done,
                "steady_s_per_image": round(steady, 2) if steady else None,
                "rc": proc.returncode, "steps": args.num_ddim_steps,
-               "images": args.images}
+               "images": args.images,
+               "batch_per_device": args.batch_per_device or "auto"}
         if proc.returncode != 0:
             rec["stderr_tail"] = proc.stderr[-2000:]
         key = method if not args.quant or args.quant == "none" \
